@@ -1,0 +1,125 @@
+"""TPU-first 2-D convolution wrappers.
+
+Everything is NHWC / HWIO — channels-last is the layout XLA:TPU tiles onto
+the MXU (lanes = trailing dim = channels). The reference's conv surface
+(dense, dilated/atrous, depthwise, grouped; torch-style symmetric integer
+padding) is reproduced on top of a single `lax.conv_general_dilated` call.
+
+Capability contract: BASELINE.json:5 (north_star) — "ASPP dilated convs",
+"replaced cheap-conv blocks (depthwise-separable / grouped convs)".
+Numerics are pinned to torch.nn.functional.conv2d by tests/test_ops_parity.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# NHWC activations, HWIO kernels. HWIO = (kh, kw, in_ch // groups, out_ch).
+DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(v) -> tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        a, b = v
+        return int(a), int(b)
+    return int(v), int(v)
+
+
+def torch_conv_padding(padding) -> tuple[tuple[int, int], tuple[int, int]]:
+    """torch-style symmetric integer padding -> lax explicit padding pairs.
+
+    torch `Conv2d(padding=p)` pads p on every side. The reference never uses
+    'same' string padding; DeepLab atrous convs use padding=dilation so that
+    3x3 atrous convs are shape-preserving.
+    """
+    ph, pw = _pair(padding)
+    return ((ph, ph), (pw, pw))
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int | Sequence[int] = 1,
+    padding: int | Sequence[int] | str = 0,
+    dilation: int | Sequence[int] = 1,
+    groups: int = 1,
+    preferred_dtype=None,
+) -> jax.Array:
+    """2-D convolution, torch `F.conv2d` semantics in NHWC/HWIO layout.
+
+    Args:
+      x: (N, H, W, Cin) activations.
+      w: (kh, kw, Cin // groups, Cout) kernel.
+      b: optional (Cout,) bias.
+      padding: int / (ph, pw) torch-style symmetric padding, or a lax string
+        ('SAME', 'VALID') — the reference only needs the integer form.
+      groups: feature group count (groups == Cin -> depthwise).
+      preferred_dtype: accumulation dtype passed to XLA. For bf16 pipelines
+        the MXU accumulates in f32 and the result is cast back to the common
+        operand dtype, so convs chain without dtype drift.
+    """
+    if isinstance(padding, str):
+        pad = padding
+    else:
+        pad = torch_conv_padding(padding)
+    common = jnp.promote_types(x.dtype, w.dtype)
+    x = x.astype(common)
+    w = w.astype(common)
+    acc = preferred_dtype
+    if acc is None and common == jnp.bfloat16:
+        acc = jnp.float32
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=_pair(stride),
+        padding=pad,
+        rhs_dilation=_pair(dilation),
+        dimension_numbers=DIMENSION_NUMBERS,
+        feature_group_count=groups,
+        preferred_element_type=acc,
+    )
+    if preferred_dtype is None:
+        out = out.astype(common)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def depthwise_conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int | Sequence[int] = 1,
+    padding: int | Sequence[int] = 0,
+    dilation: int | Sequence[int] = 1,
+) -> jax.Array:
+    """Depthwise conv: w is (kh, kw, 1, C); groups == C."""
+    c = x.shape[-1]
+    assert w.shape[2] == 1 and w.shape[3] == c, (
+        f"depthwise kernel must be (kh,kw,1,{c}), got {w.shape}"
+    )
+    return conv2d(x, w, b, stride=stride, padding=padding, dilation=dilation, groups=c)
+
+
+@partial(jax.jit, static_argnames=("kh", "kw"))
+def fixed_padding(x: jax.Array, kh: int, kw: int, dilation: int = 1) -> jax.Array:
+    """Xception-style explicit 'SAME' padding applied *before* a VALID conv.
+
+    Matches the reference Xception backbone's `fixed_padding` (SURVEY.md §2.1):
+    pad_total = dilation*(k-1); pad_beg = pad_total//2, pad_end = rest.
+    Needed so stride-2 separable convs are alignment-invariant.
+    """
+    def _amt(k):
+        eff = dilation * (k - 1)
+        return eff // 2, eff - eff // 2
+
+    (t, b), (l, r) = _amt(kh), _amt(kw)
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))

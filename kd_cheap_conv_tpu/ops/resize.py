@@ -1,0 +1,72 @@
+"""Bilinear / nearest resize with torch `F.interpolate` semantics.
+
+The decoder's bilinear upsample and TTA's multi-scale resizes
+(BASELINE.json:5 "decoder bilinear upsample", config #5 TTA) must match torch
+`align_corners=False` numerics — a silent mIoU killer otherwise (SURVEY.md §7
+"hard parts"). `jax.image.resize(method='bilinear', antialias=False)` uses the
+same half-pixel convention as torch align_corners=False for both up- and
+down-sampling (torch never antialiases); align_corners=True is provided via
+an explicit separable gather for completeness.
+
+jax.image.resize lowers to two small dense matmuls per spatial axis — this
+rides the MXU and fuses well; no Pallas needed here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def resize_bilinear(
+    x: jax.Array, size: tuple[int, int], *, align_corners: bool = False
+) -> jax.Array:
+    """Resize NHWC (or HWC) to spatial `size` = (H, W), torch bilinear semantics."""
+    if x.ndim == 3:
+        return resize_bilinear(x[None], size, align_corners=align_corners)[0]
+    n, h, w, c = x.shape
+    oh, ow = int(size[0]), int(size[1])
+    if (oh, ow) == (h, w):
+        return x
+    if not align_corners:
+        return jax.image.resize(x, (n, oh, ow, c), method="bilinear", antialias=False)
+    return _resize_align_corners(x, oh, ow)
+
+
+def _axis_weights(in_size: int, out_size: int, dtype) -> jax.Array:
+    """Dense (out, in) interpolation matrix for align_corners=True."""
+    if out_size == 1 or in_size == 1:
+        # torch maps everything to index 0 in this degenerate case
+        m = jnp.zeros((out_size, in_size), dtype)
+        return m.at[:, 0].set(1.0)
+    scale = (in_size - 1) / (out_size - 1)
+    pos = jnp.arange(out_size, dtype=jnp.float32) * scale
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    frac = (pos - lo.astype(jnp.float32)).astype(dtype)
+    m = jnp.zeros((out_size, in_size), dtype)
+    rows = jnp.arange(out_size)
+    m = m.at[rows, lo].add(1.0 - frac)
+    m = m.at[rows, hi].add(frac)
+    return m
+
+
+def _resize_align_corners(x: jax.Array, oh: int, ow: int) -> jax.Array:
+    n, h, w, c = x.shape
+    dt = x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    mh = _axis_weights(h, oh, dt)  # (oh, h)
+    mw = _axis_weights(w, ow, dt)  # (ow, w)
+    y = jnp.einsum("oh,nhwc->nowc", mh, x.astype(dt))
+    y = jnp.einsum("pw,nowc->nopc", mw, y)
+    return y.astype(x.dtype)
+
+
+def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Nearest resize (labels / masks). NHWC or NHW."""
+    squeeze = False
+    if x.ndim == 3:  # (N, H, W) integer masks
+        x = x[..., None]
+        squeeze = True
+    n, h, w, c = x.shape
+    out = jax.image.resize(x, (n, int(size[0]), int(size[1]), c), method="nearest")
+    return out[..., 0] if squeeze else out

@@ -1,0 +1,150 @@
+"""Op-level numerics parity vs torch CPU (the parity oracle; SURVEY.md §4).
+
+Covers the conv surface the models need: dense 3x3, stride-2, dilated/atrous,
+depthwise, grouped, 1x1; bilinear resize up/down (align_corners False/True);
+CE/focal/KL losses vs torch functional equivalents.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from kd_cheap_conv_tpu.ops import conv2d, depthwise_conv2d, resize_bilinear
+from kd_cheap_conv_tpu.ops.conv import fixed_padding
+from kd_cheap_conv_tpu.ops.losses import (
+    cross_entropy,
+    focal_loss,
+    hint_l2_loss,
+    kd_kl_loss,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+
+
+def _oihw(w_hwio):
+    # HWIO (kh,kw,ci,co) -> OIHW (co,ci,kh,kw)
+    return torch.from_numpy(np.ascontiguousarray(w_hwio.transpose(3, 2, 0, 1)))
+
+
+def _assert_close(jax_nhwc, torch_nchw, tol=1e-4):
+    got = np.asarray(jax_nhwc).transpose(0, 3, 1, 2)
+    want = torch_nchw.numpy()
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,stride,pad,dil,groups",
+    [
+        (8, 16, 3, 1, 1, 1, 1),      # dense 3x3
+        (8, 16, 3, 2, 1, 1, 1),      # stride-2 (torch pad=1, not XLA SAME)
+        (8, 16, 3, 1, 6, 6, 1),      # ASPP atrous rate 6
+        (8, 16, 3, 1, 12, 12, 1),    # ASPP atrous rate 12
+        (16, 16, 3, 1, 1, 1, 16),    # depthwise
+        (16, 16, 3, 2, 1, 1, 16),    # depthwise stride-2 (MobileNetV2)
+        (16, 32, 3, 1, 1, 1, 4),     # grouped (cheap-conv variant)
+        (8, 16, 1, 1, 0, 1, 1),      # pointwise
+        (8, 16, 7, 2, 3, 1, 1),      # ResNet stem
+    ],
+)
+def test_conv2d_matches_torch(cin, cout, k, stride, pad, dil, groups):
+    x = RNG.randn(2, 17, 19, cin).astype(np.float32)
+    w = (RNG.randn(k, k, cin // groups, cout) * 0.1).astype(np.float32)
+    b = RNG.randn(cout).astype(np.float32)
+    got = conv2d(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+        stride=stride, padding=pad, dilation=dil, groups=groups,
+    )
+    want = F.conv2d(
+        _nchw(x), _oihw(w), torch.from_numpy(b),
+        stride=stride, padding=pad, dilation=dil, groups=groups,
+    )
+    _assert_close(got, want)
+
+
+def test_depthwise_helper():
+    x = RNG.randn(1, 9, 9, 8).astype(np.float32)
+    w = RNG.randn(3, 3, 1, 8).astype(np.float32)
+    got = depthwise_conv2d(jnp.asarray(x), jnp.asarray(w), padding=1)
+    want = F.conv2d(_nchw(x), _oihw(w), padding=1, groups=8)
+    _assert_close(got, want)
+
+
+def test_fixed_padding_stride2_alignment():
+    # Xception fixed_padding: pad 'SAME'-style then VALID conv; output spatial
+    # must be ceil(H/2) regardless of parity.
+    for h in (15, 16):
+        x = jnp.asarray(RNG.randn(1, h, h, 4).astype(np.float32))
+        w = jnp.asarray(RNG.randn(3, 3, 4, 4).astype(np.float32))
+        y = conv2d(fixed_padding(x, 3, 3), w, stride=2, padding=0)
+        assert y.shape[1] == (h + 1) // 2
+
+
+@pytest.mark.parametrize("size", [(34, 38), (9, 10), (68, 76), (513, 513)])
+def test_bilinear_resize_matches_torch_half_pixel(size):
+    x = RNG.randn(2, 17, 19, 5).astype(np.float32)
+    got = resize_bilinear(jnp.asarray(x), size)
+    want = F.interpolate(_nchw(x), size=size, mode="bilinear", align_corners=False)
+    _assert_close(got, want, tol=1e-4)
+
+
+@pytest.mark.parametrize("size", [(34, 38), (9, 10)])
+def test_bilinear_resize_align_corners_true(size):
+    x = RNG.randn(2, 17, 19, 5).astype(np.float32)
+    got = resize_bilinear(jnp.asarray(x), size, align_corners=True)
+    want = F.interpolate(_nchw(x), size=size, mode="bilinear", align_corners=True)
+    _assert_close(got, want, tol=1e-4)
+
+
+def test_cross_entropy_matches_torch_with_ignore():
+    logits = RNG.randn(2, 7, 7, 21).astype(np.float32)
+    labels = RNG.randint(0, 21, size=(2, 7, 7)).astype(np.int32)
+    labels[0, :2, :3] = 255
+    got = cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
+    want = F.cross_entropy(
+        _nchw(logits), torch.from_numpy(labels.astype(np.int64)), ignore_index=255
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-6)
+
+
+def test_kd_kl_matches_torch():
+    t = 4.0
+    s = RNG.randn(2, 5, 5, 21).astype(np.float32)
+    te = RNG.randn(2, 5, 5, 21).astype(np.float32)
+    got = kd_kl_loss(jnp.asarray(s), jnp.asarray(te), temperature=t)
+    st = _nchw(s) / t
+    tt = _nchw(te) / t
+    # torch: KLDiv(log_softmax(s), softmax(t)) per pixel, mean over pixels * T^2
+    kl = F.kl_div(
+        F.log_softmax(st, dim=1), F.softmax(tt, dim=1), reduction="none"
+    ).sum(1)
+    want = float(kl.mean() * t * t)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_kd_kl_nonnegative_and_zero_at_match():
+    z = jnp.asarray(RNG.randn(1, 4, 4, 19).astype(np.float32))
+    assert float(kd_kl_loss(z, z, temperature=2.0)) == pytest.approx(0.0, abs=1e-6)
+    z2 = z + 0.5
+    assert float(kd_kl_loss(z2, z, temperature=2.0)) > 0
+
+
+def test_focal_reduces_to_ce_at_gamma0():
+    logits = RNG.randn(2, 6, 6, 19).astype(np.float32)
+    labels = RNG.randint(0, 19, size=(2, 6, 6)).astype(np.int32)
+    fl = focal_loss(jnp.asarray(logits), jnp.asarray(labels), gamma=0.0)
+    ce = cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
+    np.testing.assert_allclose(float(fl), float(ce), rtol=1e-6)
+
+
+def test_hint_l2():
+    a = jnp.asarray(RNG.randn(1, 4, 4, 8).astype(np.float32))
+    b = jnp.asarray(RNG.randn(1, 4, 4, 8).astype(np.float32))
+    want = float(((np.asarray(a) - np.asarray(b)) ** 2).mean())
+    np.testing.assert_allclose(float(hint_l2_loss(a, b)), want, rtol=1e-6)
