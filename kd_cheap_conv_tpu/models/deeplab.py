@@ -1,0 +1,77 @@
+"""DeepLabV3 / DeepLabV3+ heads and the segmentation model wrapper.
+
+Reference capability (SURVEY.md §2.1):
+- `DeepLabHeadV3Plus`: 1x1-project low-level features to 48ch, ASPP on the
+  high-level features, bilinear-upsample ASPP output to the low-level
+  resolution, concat (304ch), one 3x3 conv to 256ch, 1x1 classifier.
+- `DeepLabHead` (V3, no decoder): ASPP -> 3x3 conv 256 -> 1x1 classifier.
+- `_SimpleSegmentationModel` equivalent: backbone -> head -> bilinear
+  upsample logits to input resolution.
+
+The model can also return its KD feature taps (low-level, backbone out, head
+pre-logit features) for the hint L2 loss (BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+from flax import nnx
+
+from ..ops.resize import resize_bilinear
+from .aspp import ASPP
+from .layers import Conv2d, ConvBNReLU
+
+
+class DeepLabHeadV3Plus(nnx.Module):
+    def __init__(self, in_channels: int, low_level_channels: int,
+                 num_classes: int, aspp_dilate=(6, 12, 18), *, dtype=None,
+                 rngs: nnx.Rngs):
+        self.project = ConvBNReLU(low_level_channels, 48, 1, dtype=dtype, rngs=rngs)
+        self.aspp = ASPP(in_channels, tuple(aspp_dilate), dtype=dtype, rngs=rngs)
+        self.fuse = ConvBNReLU(304, 256, 3, padding=1, dtype=dtype, rngs=rngs)
+        self.classifier = Conv2d(256, num_classes, 1, dtype=dtype, rngs=rngs)
+
+    def __call__(self, features: dict, *, return_features: bool = False):
+        import jax.numpy as jnp
+
+        low = self.project(features["low_level"])
+        x = self.aspp(features["out"])
+        x = resize_bilinear(x, low.shape[1:3])
+        x = self.fuse(jnp.concatenate([low, x], axis=-1))
+        logits = self.classifier(x)
+        if return_features:
+            return logits, {"head": x}
+        return logits
+
+
+class DeepLabHead(nnx.Module):
+    def __init__(self, in_channels: int, num_classes: int,
+                 aspp_dilate=(6, 12, 18), *, dtype=None, rngs: nnx.Rngs):
+        self.aspp = ASPP(in_channels, tuple(aspp_dilate), dtype=dtype, rngs=rngs)
+        self.fuse = ConvBNReLU(256, 256, 3, padding=1, dtype=dtype, rngs=rngs)
+        self.classifier = Conv2d(256, num_classes, 1, dtype=dtype, rngs=rngs)
+
+    def __call__(self, features: dict, *, return_features: bool = False):
+        x = self.fuse(self.aspp(features["out"]))
+        logits = self.classifier(x)
+        if return_features:
+            return logits, {"head": x}
+        return logits
+
+
+class SegmentationModel(nnx.Module):
+    """backbone -> head -> bilinear upsample to input size (logits NHWC)."""
+
+    def __init__(self, backbone: nnx.Module, classifier: nnx.Module):
+        self.backbone = backbone
+        self.classifier = classifier
+
+    def __call__(self, x, *, return_features: bool = False):
+        size = x.shape[1:3]
+        feats = self.backbone(x)
+        if return_features:
+            logits, head_feats = self.classifier(feats, return_features=True)
+            logits = resize_bilinear(logits, size)
+            taps = {"low_level": feats["low_level"], "out": feats["out"], **head_feats}
+            return logits, taps
+        logits = self.classifier(feats)
+        return resize_bilinear(logits, size)

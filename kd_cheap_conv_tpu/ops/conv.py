@@ -109,7 +109,7 @@ def depthwise_conv2d(
     return conv2d(x, w, b, stride=stride, padding=padding, dilation=dilation, groups=c)
 
 
-@partial(jax.jit, static_argnames=("kh", "kw"))
+@partial(jax.jit, static_argnames=("kh", "kw", "dilation"))
 def fixed_padding(x: jax.Array, kh: int, kw: int, dilation: int = 1) -> jax.Array:
     """Xception-style explicit 'SAME' padding applied *before* a VALID conv.
 
