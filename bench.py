@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric (BASELINE.json:2): KD train images/sec/chip at 513² (teacher+student
+fwd/bwd). Workload = config #2 shape: ResNet-101 DeepLabV3+ teacher →
+MobileNetV2 cheap-conv student, bf16 compute, batch sized for one v5e chip.
+
+vs_baseline = measured / target, where target = 90% of the analytic conv
+roofline (BASELINE.md): roofline_img_s = achievable_TFLOPs / TFLOPs_per_img,
+computed from the actual conv FLOPs of the built graphs at 513² (counted by
+ops.flops) with a 50% conv-efficiency assumption on v5e (197 bf16 TFLOP/s).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from kd_cheap_conv_tpu.kd import KDConfig, replace_cheap_convs
+    from kd_cheap_conv_tpu.kd.replace import CheapConvSpec
+    from kd_cheap_conv_tpu.models import build_model
+    from kd_cheap_conv_tpu.train import make_kd_train_step, make_optimizer
+
+    batch = 8
+    hw = 513
+    dtype = jnp.bfloat16
+
+    teacher = build_model("deeplabv3plus_resnet101", num_classes=21,
+                          output_stride=16, dtype=dtype, rngs=nnx.Rngs(0))
+    student = build_model("deeplabv3plus_mobilenet", num_classes=21,
+                          output_stride=16, dtype=dtype, rngs=nnx.Rngs(1))
+    replace_cheap_convs(student, CheapConvSpec(kind="separable"),
+                        scope="classifier")
+
+    cfg = KDConfig(temperature=4.0, alpha=0.5, beta=0.5)
+    _, params, _ = nnx.split(student, nnx.Param, ...)
+    tx = make_optimizer({"student": params}, lr=0.01, max_iters=10_000,
+                        label_fn=lambda d: (
+                            "backbone" if d.startswith("student.backbone")
+                            else "head"))
+    init_state, step_fn, t_state = make_kd_train_step(student, teacher, tx, cfg)
+    state = init_state()
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(batch, hw, hw, 3), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 21, (batch, hw, hw)), jnp.int32)
+
+    # warmup / compile
+    state, metrics = step_fn(state, (images, labels), t_state)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, (images, labels), t_state)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    img_per_s = batch * iters / dt
+
+    # Analytic roofline (BASELINE.md worksheet): teacher fwd + student fwd/bwd
+    # conv FLOPs per image at 513², v5e 197 TFLOP/s bf16, 50% efficiency.
+    from kd_cheap_conv_tpu.utils.flops import kd_step_flops_per_image
+
+    tflops_per_img = kd_step_flops_per_image(teacher, student, hw) / 1e12
+    peak = 197.0  # v5e bf16 TFLOP/s
+    eff = 0.50
+    roofline_img_s = peak * eff / max(tflops_per_img, 1e-9)
+    target = 0.9 * roofline_img_s
+
+    print(json.dumps({
+        "metric": "kd_train_images_per_sec_per_chip_513",
+        "value": round(img_per_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_s / target, 4),
+        "extra": {
+            "batch": batch,
+            "step_ms": round(1e3 * dt / iters, 2),
+            "tflops_per_img": round(tflops_per_img, 4),
+            "roofline_img_s_at_50pct": round(roofline_img_s, 2),
+            "target_img_s": round(target, 2),
+            "loss": float(metrics["loss"]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Host input pipeline: threaded decode/augment workers + double-buffered
+device prefetch (BASELINE.json:5 "fused host-side ... feeding HBM with
+double-buffered prefetch").
+
+The host side stays deliberately simple and deterministic: an epoch
+permutation from a seeded Generator, a thread pool running the joint
+transforms (PIL/numpy release the GIL for the heavy parts), and
+`prefetch_to_device`, which keeps `buffer_size` batches resident on device
+(sharded over the mesh when given) so the TPU never waits on H2D.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import batch_sharding
+
+
+def make_loader(
+    dataset,
+    *,
+    batch_size: int,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    seed: int = 0,
+    num_workers: int = 8,
+    num_epochs: int | None = None,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yields (images f32 NHWC, labels i32 NHW) numpy batches.
+
+    Per-sample RNG is derived from (seed, epoch, index) so augmentations are
+    reproducible and independent of worker scheduling (SURVEY.md §4 golden
+    pipeline tests).
+    """
+    n = len(dataset)
+    epoch = 0
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        while num_epochs is None or epoch < num_epochs:
+            order = np.arange(n)
+            if shuffle:
+                np.random.default_rng((seed, epoch)).shuffle(order)
+            for start in range(0, n, batch_size):
+                idxs = order[start:start + batch_size]
+                if len(idxs) < batch_size and drop_last:
+                    break
+
+                def _get(i):
+                    rng = np.random.default_rng((seed, epoch, int(i)))
+                    return dataset.__getitem__(int(i), rng)
+
+                samples = list(pool.map(_get, idxs))
+                images = np.stack([s[0] for s in samples]).astype(np.float32)
+                labels = np.stack([s[1] for s in samples]).astype(np.int32)
+                yield images, labels
+            epoch += 1
+
+
+def prefetch_to_device(iterator, *, mesh=None, buffer_size: int = 2):
+    """Wrap a host batch iterator with an async device-transfer queue.
+
+    With a mesh, batches land sharded over the 'data' axis; otherwise on the
+    default device. A background thread stays `buffer_size` batches ahead, so
+    H2D copy overlaps with the running step (double buffering).
+    """
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    q: Queue = Queue(maxsize=buffer_size)
+    _SENTINEL = object()
+
+    def _producer():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = jax.tree.map(
+                        lambda x: jax.device_put(x, sharding), batch)
+                else:
+                    batch = jax.tree.map(jax.device_put, batch)
+                q.put(batch)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=_producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        yield item

@@ -94,12 +94,12 @@ class ResNet(nnx.Module):
         return nnx.List(layer)
 
     def _maxpool(self, x):
-        # torch MaxPool2d(kernel_size=3, stride=2, padding=1)
-        import jax.numpy as jnp
+        # torch MaxPool2d(kernel_size=3, stride=2, padding=1).
+        # init must be the literal -inf for JAX to recognize the max monoid
+        # (select-and-scatter grad rule); finfo.min breaks reverse-mode AD.
         from jax import lax
-        neg = jnp.finfo(jnp.float32).min if x.dtype.kind == "f" else -(2**31)
         return lax.reduce_window(
-            x, jnp.asarray(neg, x.dtype), lax.max,
+            x, -float("inf"), lax.max,
             window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
             padding=((0, 0), (1, 1), (1, 1), (0, 0)),
         )

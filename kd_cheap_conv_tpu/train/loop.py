@@ -1,0 +1,120 @@
+"""Training loop + validate — the reference main.py's control flow
+(SURVEY.md §3.1/§3.4): iteration-based hot loop, print/val intervals,
+latest/best checkpointing on val mIoU, streaming confusion-matrix eval.
+
+The loop body stays host-side thin: one jitted step per iteration on
+prefetched device batches; metrics cross to host only at print/val points
+(jax.block_until_ready only where timing is recorded).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+from flax import nnx
+
+from ..utils.metrics import AverageMeter, StreamSegMetrics
+from .checkpoint import save_checkpoint
+from .steps import TrainState, make_eval_step
+
+
+@dataclass
+class LoopConfig:
+    total_itrs: int = 30_000
+    print_interval: int = 10
+    val_interval: int = 100
+    ckpt_dir: str = "checkpoints"
+    model_name: str = "model"
+    dataset_name: str = "dataset"
+    output_stride: int = 16
+    save_best: bool = True
+
+
+def validate(model: nnx.Module, loader: Iterator, *, num_classes: int,
+             eval_step=None, state=None) -> dict:
+    """Run eval over a loader; returns StreamSegMetrics results dict.
+
+    Accepts either a live model (split here) or a prebuilt (eval_step, state).
+    The confusion matrix accumulates on device; one D2H at the end.
+    """
+    import jax.numpy as jnp
+
+    if eval_step is None:
+        model.eval()
+        graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+        eval_step = make_eval_step(graphdef, num_classes=num_classes)
+        state = (params, rest)
+    params, rest = state
+    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+    for batch in loader:
+        cm, _ = eval_step(params, rest, batch, cm)
+    return StreamSegMetrics.from_confusion_matrix(np.asarray(cm))
+
+
+def train_loop(
+    *,
+    state: TrainState,
+    step_fn: Callable,
+    train_iter: Iterator,
+    cfg: LoopConfig,
+    teacher_state=None,
+    validate_fn: Callable[[TrainState], dict] | None = None,
+    log_fn: Callable[[str], None] = print,
+) -> tuple[TrainState, float]:
+    """Run until cfg.total_itrs. Returns (final_state, best_score).
+
+    validate_fn(state) -> metrics dict with 'Mean IoU'; checkpoints written
+    with the reference's latest/best layout at each val interval.
+    """
+    from .checkpoint import checkpoint_path
+
+    best_score = 0.0
+    meter = AverageMeter()
+    t_last = time.perf_counter()
+    cur = int(state.step)
+    while cur < cfg.total_itrs:
+        try:
+            batch = next(train_iter)
+        except StopIteration:
+            log_fn("train iterator exhausted before total_itrs")
+            break
+        if teacher_state is not None:
+            state, metrics = step_fn(state, batch, teacher_state)
+        else:
+            state, metrics = step_fn(state, batch)
+        cur += 1
+
+        if cur % cfg.print_interval == 0:
+            jax.block_until_ready(metrics["loss"])
+            now = time.perf_counter()
+            meter.update((now - t_last) / cfg.print_interval, cfg.print_interval)
+            t_last = now
+            n_img = batch[0].shape[0]
+            parts = ", ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
+            log_fn(f"Itrs {cur}/{cfg.total_itrs}: {parts} "
+                   f"({n_img / max(meter.avg, 1e-9):.1f} img/s)")
+
+        if cur % cfg.val_interval == 0 or cur >= cfg.total_itrs:
+            latest = checkpoint_path(cfg.ckpt_dir, "latest", cfg.model_name,
+                                     cfg.dataset_name, cfg.output_stride)
+            save_checkpoint(latest, cur_itrs=cur, params=state.params,
+                            rest=state.rest, opt_state=state.opt_state,
+                            best_score=best_score)
+            if validate_fn is not None:
+                results = validate_fn(state)
+                log_fn(StreamSegMetrics.to_str(results))
+                if cfg.save_best and results["Mean IoU"] > best_score:
+                    best_score = results["Mean IoU"]
+                    best = checkpoint_path(cfg.ckpt_dir, "best",
+                                           cfg.model_name, cfg.dataset_name,
+                                           cfg.output_stride)
+                    save_checkpoint(best, cur_itrs=cur, params=state.params,
+                                    rest=state.rest,
+                                    opt_state=state.opt_state,
+                                    best_score=best_score)
+            t_last = time.perf_counter()
+    return state, best_score

@@ -1,0 +1,288 @@
+#!/usr/bin/env python
+"""Train/eval entry point — mirrors the reference CLI surface
+(SURVEY.md §2.4/§5.6: `python main.py --model deeplabv3plus_mobilenet
+--dataset voc --output_stride 16 --crop_size 513 ...` with --test_only,
+--ckpt, --continue_training, --separable_conv, --crop_val), extended with the
+fork's KD flags (teacher, temperature/alpha/beta/gamma, hint taps, cheap-conv
+kind, progressive schedule, cached teacher logits).
+
+TPU-native execution: the train step is jitted and SPMD-sharded over a 1-D
+'data' mesh covering all visible devices; batches stream through the
+double-buffered device prefetcher.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+
+
+def get_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native DeepLab KD (kd_cheap_conv_tpu)")
+    # Dataset options (reference names)
+    p.add_argument("--data_root", type=str, default="./datasets/data")
+    p.add_argument("--dataset", type=str, default="voc",
+                   choices=["voc", "cityscapes", "synthetic"])
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--year", type=str, default="2012")
+    p.add_argument("--image_set", type=str, default=None,
+                   help="train | trainaug | val (voc)")
+    # Model options
+    p.add_argument("--model", type=str, default="deeplabv3plus_mobilenet")
+    p.add_argument("--separable_conv", action="store_true",
+                   help="apply separable conv to decoder and aspp")
+    p.add_argument("--output_stride", type=int, default=16, choices=[8, 16])
+    # Train options
+    p.add_argument("--test_only", action="store_true")
+    p.add_argument("--save_val_results", action="store_true")
+    p.add_argument("--total_itrs", type=int, default=30_000)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--lr_policy", type=str, default="poly", choices=["poly", "step"])
+    p.add_argument("--step_size", type=int, default=10_000)
+    p.add_argument("--crop_val", action="store_true")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--val_batch_size", type=int, default=4)
+    p.add_argument("--crop_size", type=int, default=513)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--continue_training", action="store_true")
+    p.add_argument("--loss_type", type=str, default="cross_entropy",
+                   choices=["cross_entropy", "focal_loss"])
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--random_seed", type=int, default=1)
+    p.add_argument("--print_interval", type=int, default=10)
+    p.add_argument("--val_interval", type=int, default=100)
+    p.add_argument("--download", action="store_true",
+                   help="unsupported offline; kept for CLI parity")
+    p.add_argument("--ckpt_dir", type=str, default="checkpoints")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (TPU fast path)")
+    p.add_argument("--num_workers", type=int, default=8)
+    # KD options (fork surface)
+    p.add_argument("--kd", action="store_true", help="enable KD training")
+    p.add_argument("--teacher_model", type=str, default="deeplabv3plus_resnet101")
+    p.add_argument("--teacher_ckpt", type=str, default=None)
+    p.add_argument("--kd_temperature", type=float, default=4.0)
+    p.add_argument("--kd_alpha", type=float, default=0.5)
+    p.add_argument("--kd_beta", type=float, default=0.5)
+    p.add_argument("--kd_gamma", type=float, default=0.0)
+    p.add_argument("--hint_taps", type=str, default="",
+                   help="comma list from {low_level,out,head}")
+    p.add_argument("--cheap_conv", type=str, default="separable",
+                   choices=["separable", "grouped"])
+    p.add_argument("--cheap_groups", type=int, default=4)
+    p.add_argument("--cheap_init", type=str, default="factorize",
+                   choices=["factorize", "random"])
+    p.add_argument("--replace_scope", type=str, default=None,
+                   help="comma list of dotted path prefixes to replace")
+    p.add_argument("--progressive", action="store_true")
+    p.add_argument("--stage_iters", type=int, default=1000)
+    p.add_argument("--finetune_iters", type=int, default=5000)
+    p.add_argument("--cached_logits", type=str, default=None,
+                   help="npz file of cached teacher logits (config #1 mode)")
+    # Visualization (reference parity; tensorboard instead of visdom)
+    p.add_argument("--enable_vis", action="store_true")
+    p.add_argument("--vis_dir", type=str, default="runs")
+    return p
+
+
+def get_dataset(opts):
+    """Reference get_dataset(): dataset + train/val transforms."""
+    from kd_cheap_conv_tpu.data import Cityscapes, SyntheticSegmentation, VOCSegmentation
+    from kd_cheap_conv_tpu.data.transforms import train_transform, val_transform
+
+    tt = train_transform(opts.crop_size)
+    vt = val_transform(opts.crop_size if opts.crop_val else None)
+    if opts.dataset == "voc":
+        image_set = opts.image_set or "train"
+        train = VOCSegmentation(opts.data_root, image_set, transform=tt,
+                                year=opts.year)
+        val = VOCSegmentation(opts.data_root, "val", transform=vt,
+                              year=opts.year)
+        n_cls = 21
+    elif opts.dataset == "cityscapes":
+        train = Cityscapes(opts.data_root, "train", transform=tt)
+        val = Cityscapes(opts.data_root, "val", transform=vt)
+        n_cls = 19
+    else:
+        n_cls = opts.num_classes or 21
+        train = SyntheticSegmentation(n_cls, size=opts.crop_size, length=256,
+                                      transform=None, seed=opts.random_seed)
+        val = SyntheticSegmentation(n_cls, size=opts.crop_size, length=32,
+                                    transform=None, seed=opts.random_seed + 1)
+    return train, val, (opts.num_classes or n_cls)
+
+
+def main(argv=None) -> int:
+    opts = get_argparser().parse_args(argv)
+    if opts.download:
+        print("--download is unsupported in this offline environment; "
+              "provide --data_root with a local dataset tree.", file=sys.stderr)
+        return 2
+
+    random.seed(opts.random_seed)
+    np.random.seed(opts.random_seed)
+
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from kd_cheap_conv_tpu.data import make_loader, prefetch_to_device
+    from kd_cheap_conv_tpu.inference import make_predict_fn
+    from kd_cheap_conv_tpu.kd import KDConfig, replace_cheap_convs
+    from kd_cheap_conv_tpu.kd.distill import make_hint_adapters
+    from kd_cheap_conv_tpu.kd.replace import CheapConvSpec, convert_to_separable_conv
+    from kd_cheap_conv_tpu.models import build_model
+    from kd_cheap_conv_tpu.models.layers import set_bn_momentum
+    from kd_cheap_conv_tpu.parallel import make_mesh
+    from kd_cheap_conv_tpu.train import make_kd_train_step, make_optimizer, make_train_step
+    from kd_cheap_conv_tpu.train.checkpoint import load_checkpoint
+    from kd_cheap_conv_tpu.train.loop import LoopConfig, train_loop, validate
+
+    train_dst, val_dst, num_classes = get_dataset(opts)
+    dtype = jnp.bfloat16 if opts.bf16 else None
+    mesh = make_mesh()
+    print(f"Devices: {jax.device_count()} ({jax.devices()[0].platform}); "
+          f"mesh={mesh.shape}")
+    print(f"Dataset: {opts.dataset}, Train set: {len(train_dst)}, "
+          f"Val set: {len(val_dst)}")
+
+    rngs = nnx.Rngs(opts.random_seed)
+    model = build_model(opts.model, num_classes, opts.output_stride,
+                        dtype=dtype, rngs=rngs)
+    if opts.separable_conv:
+        convert_to_separable_conv(model.classifier, rngs=rngs)
+    set_bn_momentum(model.backbone, 0.01)
+
+    if opts.ckpt and os.path.exists(opts.ckpt):
+        restored = load_checkpoint(opts.ckpt)
+        _, params, rest = nnx.split(model, nnx.Param, ...)
+        nnx.replace_by_pure_dict(params, restored["model_state"]["params"])
+        nnx.replace_by_pure_dict(rest, restored["model_state"]["rest"])
+        nnx.update(model, params, rest)
+        print(f"Restored model from {opts.ckpt} "
+              f"(itrs={int(restored['cur_itrs'])})")
+
+    if opts.test_only:
+        model.eval()
+        val_loader = prefetch_to_device(
+            make_loader(val_dst, batch_size=opts.val_batch_size, shuffle=False,
+                        drop_last=False, num_epochs=1,
+                        num_workers=opts.num_workers),
+            mesh=None)
+        results = validate(model, val_loader, num_classes=num_classes)
+        from kd_cheap_conv_tpu.utils import StreamSegMetrics
+        print(StreamSegMetrics.to_str(results))
+        return 0
+
+    # ----- build the training setup -----
+    teacher = None
+    adapters = None
+    hint_taps = tuple(t for t in opts.hint_taps.split(",") if t)
+    kd_cfg = KDConfig(temperature=opts.kd_temperature, alpha=opts.kd_alpha,
+                      beta=opts.kd_beta, gamma=opts.kd_gamma,
+                      hint_taps=hint_taps, loss_type=opts.loss_type)
+
+    if opts.kd:
+        teacher = build_model(opts.teacher_model, num_classes,
+                              opts.output_stride, dtype=dtype,
+                              rngs=nnx.Rngs(opts.random_seed + 1))
+        if opts.teacher_ckpt and os.path.exists(opts.teacher_ckpt):
+            if opts.teacher_ckpt.endswith(".pth"):
+                import torch
+                from kd_cheap_conv_tpu.train.checkpoint import import_torch_state_dict
+                sd = torch.load(opts.teacher_ckpt, map_location="cpu")
+                sd = sd.get("model_state", sd)
+                n, missing = import_torch_state_dict(teacher, sd)
+                print(f"Teacher: imported {n} torch tensors "
+                      f"({len(missing)} unmapped)")
+            else:
+                restored = load_checkpoint(opts.teacher_ckpt)
+                _, tp, tr = nnx.split(teacher, nnx.Param, ...)
+                nnx.replace_by_pure_dict(tp, restored["model_state"]["params"])
+                nnx.replace_by_pure_dict(tr, restored["model_state"]["rest"])
+                nnx.update(teacher, tp, tr)
+                print(f"Teacher restored from {opts.teacher_ckpt}")
+        # student = cheap-conv replacement of chosen scope
+        spec = CheapConvSpec(kind=opts.cheap_conv, groups=opts.cheap_groups,
+                             init=opts.cheap_init)
+        scope = (tuple(s for s in opts.replace_scope.split(","))
+                 if opts.replace_scope else None)
+        replaced = replace_cheap_convs(model, spec, scope=scope, rngs=rngs)
+        print(f"Cheap-conv student: replaced {len(replaced)} convs "
+              f"({opts.cheap_conv}, init={opts.cheap_init})")
+        if hint_taps:
+            adapters = make_hint_adapters(model, teacher, hint_taps,
+                                          dtype=dtype, rngs=rngs)
+
+    _, params, _ = nnx.split(model, nnx.Param, ...)
+    opt_params = {"student": params} if opts.kd else params
+    if opts.kd and adapters is not None:
+        _, a_params = nnx.split(adapters, nnx.Param)
+        opt_params["adapters"] = a_params
+    prefix = "student." if opts.kd else ""
+    tx = make_optimizer(
+        opt_params, lr=opts.lr, max_iters=opts.total_itrs,
+        weight_decay=opts.weight_decay,
+        label_fn=lambda d: ("backbone" if d.startswith(prefix + "backbone")
+                            else "head"))
+
+    if opts.kd:
+        init_state, step_fn, t_state = make_kd_train_step(
+            model, teacher, tx, kd_cfg, adapters=adapters)
+    else:
+        init_state, step_fn = make_train_step(model, tx,
+                                              loss_type=opts.loss_type)
+        t_state = None
+    state = init_state()
+
+    if opts.ckpt and opts.continue_training and os.path.exists(opts.ckpt):
+        restored = load_checkpoint(opts.ckpt)
+        state = state.replace(
+            step=jnp.asarray(restored["cur_itrs"], jnp.int32))
+        print(f"Continue training from itrs={int(state.step)}")
+
+    train_iter = prefetch_to_device(
+        make_loader(train_dst, batch_size=opts.batch_size, shuffle=True,
+                    seed=opts.random_seed, num_workers=opts.num_workers),
+        mesh=mesh)
+
+    # validate() uses the student graph in eval mode with current params
+    eval_model = model
+
+    def validate_fn(st):
+        eval_model.eval()
+        p = st.params["student"] if opts.kd else st.params
+        graphdef, _, _ = nnx.split(eval_model, nnx.Param, ...)
+        from kd_cheap_conv_tpu.train.steps import make_eval_step
+        ev = make_eval_step(graphdef, num_classes=num_classes)
+        val_loader = prefetch_to_device(
+            make_loader(val_dst, batch_size=opts.val_batch_size,
+                        shuffle=False, drop_last=False, num_epochs=1,
+                        num_workers=opts.num_workers))
+        import jax.numpy as jnp2
+        cm = jnp2.zeros((num_classes, num_classes), jnp2.int32)
+        for batch in val_loader:
+            cm, _ = ev(p, st.rest, batch, cm)
+        eval_model.train()
+        from kd_cheap_conv_tpu.utils import StreamSegMetrics
+        return StreamSegMetrics.from_confusion_matrix(np.asarray(cm))
+
+    loop_cfg = LoopConfig(total_itrs=opts.total_itrs,
+                          print_interval=opts.print_interval,
+                          val_interval=opts.val_interval,
+                          ckpt_dir=opts.ckpt_dir, model_name=opts.model,
+                          dataset_name=opts.dataset,
+                          output_stride=opts.output_stride)
+    state, best = train_loop(state=state, step_fn=step_fn,
+                             train_iter=train_iter, cfg=loop_cfg,
+                             teacher_state=t_state, validate_fn=validate_fn)
+    print(f"Best Mean IoU: {best:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,54 @@
+"""End-to-end CLI smoke tests (reference entrypoint parity, SURVEY.md §2.4):
+synthetic-data train for a few iterations with val + checkpointing, then
+--test_only eval from the written checkpoint.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import main as cli
+
+
+def test_cli_train_and_eval_roundtrip(tmp_path, capsys):
+    ckpt_dir = str(tmp_path / "ckpts")
+    args = [
+        "--dataset", "synthetic",
+        "--model", "deeplabv3plus_mobilenet",
+        "--num_classes", "6",
+        "--crop_size", "33",
+        "--batch_size", "8",
+        "--val_batch_size", "8",
+        "--total_itrs", "4",
+        "--val_interval", "4",
+        "--print_interval", "2",
+        "--lr", "0.01",
+        "--ckpt_dir", ckpt_dir,
+        "--num_workers", "2",
+    ]
+    assert cli.main(args) == 0
+    out = capsys.readouterr().out
+    assert "Itrs 4/4" in out
+    assert "Mean IoU" in out
+    latest = os.path.join(
+        ckpt_dir, "latest_deeplabv3plus_mobilenet_synthetic_os16")
+    assert os.path.isdir(latest)
+
+    # --test_only from the checkpoint
+    args2 = [
+        "--dataset", "synthetic",
+        "--model", "deeplabv3plus_mobilenet",
+        "--num_classes", "6",
+        "--crop_size", "33",
+        "--val_batch_size", "8",
+        "--test_only",
+        "--ckpt", latest,
+    ]
+    assert cli.main(args2) == 0
+    out2 = capsys.readouterr().out
+    assert "Mean IoU" in out2
+
+
+def test_cli_download_flag_errors():
+    assert cli.main(["--download"]) == 2
