@@ -75,7 +75,16 @@ for c in CLASSES:
 
 def encode_target(target) -> np.ndarray:
     """Raw Cityscapes ids (0..33) -> train ids (0..18, void=255)."""
-    return _ID_TO_TRAIN[np.asarray(target, dtype=np.uint8)]
+    target = np.asarray(target, dtype=np.uint8)
+    try:
+        from ..native import remap_u8
+
+        out = remap_u8(target, _ID_TO_TRAIN)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return _ID_TO_TRAIN[target]
 
 
 def decode_target(target) -> np.ndarray:

@@ -55,9 +55,15 @@ def make_loader(
                     return dataset.__getitem__(int(i), rng)
 
                 samples = list(pool.map(_get, idxs))
-                images = np.stack([s[0] for s in samples]).astype(np.float32)
-                labels = np.stack([s[1] for s in samples]).astype(np.int32)
-                yield images, labels
+                cols = list(zip(*samples))
+                images = np.stack(cols[0]).astype(np.float32)
+                labels = np.stack(cols[1]).astype(np.int32)
+                if len(cols) == 2:
+                    yield images, labels
+                else:  # cached-teacher mode: (image, label, logits, ...)
+                    extras = tuple(np.stack(c).astype(np.float32)
+                                   for c in cols[2:])
+                    yield (images, labels, *extras)
             epoch += 1
 
 

@@ -136,14 +136,36 @@ class ExtNormalize:
         return (img - self.mean) / self.std, lbl
 
 
+class ExtToNormalizedArray:
+    """Fused uint8 HWC -> normalized float32 HWC (== ExtToArray+ExtNormalize).
+
+    Uses the native C kernel (native/hostops.c) when built — one pass, no
+    float temporaries — with the numpy composition as fallback/oracle.
+    """
+
+    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, img, lbl, rng=None):
+        lbl = np.asarray(lbl, np.int32)
+        if img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3:
+            from ..native import normalize_u8_f32
+
+            out = normalize_u8_f32(img, self.mean, self.std)
+            if out is not None:
+                return out, lbl
+        arr = np.asarray(img, np.float32) / 255.0
+        return (arr - self.mean) / self.std, lbl
+
+
 def train_transform(crop_size: int, scale_range=(0.5, 2.0)) -> ExtCompose:
     """The reference's train pipeline (SURVEY.md §2.3)."""
     return ExtCompose([
         ExtRandomScale(scale_range),
         ExtRandomCrop(crop_size, pad_if_needed=True),
         ExtRandomHorizontalFlip(),
-        ExtToArray(),
-        ExtNormalize(),
+        ExtToNormalizedArray(),
     ])
 
 
@@ -152,5 +174,5 @@ def val_transform(crop_size: int | None = None) -> ExtCompose:
     ts = []
     if crop_size is not None:
         ts += [ExtResize(crop_size), ExtCenterCrop(crop_size)]
-    ts += [ExtToArray(), ExtNormalize()]
+    ts += [ExtToNormalizedArray()]
     return ExtCompose(ts)

@@ -74,7 +74,11 @@ class Conv2d(nnx.Module):
 
 
 class BatchNorm(nnx.BatchNorm):
-    """BatchNorm2d with torch defaults; stats and affine params in f32.
+    """BatchNorm2d with torch defaults; running stats and affine params in
+    f32; activations stay in the model's compute dtype (flax computes the
+    batch moments in >=f32 internally regardless, so bf16 pipelines don't
+    round-trip activations through f32 — that cast would silently promote
+    every downstream conv to f32 and halve MXU throughput).
 
     Under `jax.jit` + `NamedSharding` over a data mesh the batch moments are
     computed over the *global* (sharded) batch — XLA inserts the cross-chip
@@ -88,15 +92,10 @@ class BatchNorm(nnx.BatchNorm):
             use_running_average=False,
             momentum=momentum,
             epsilon=epsilon,
-            dtype=jnp.float32,      # normalize in f32 regardless of compute dtype
+            dtype=dtype,            # None -> promote with f32 params = f32
             param_dtype=jnp.float32,
             rngs=rngs,
         )
-        self._out_dtype = dtype
-
-    def __call__(self, x, **kwargs):
-        out = super().__call__(x.astype(jnp.float32), **kwargs)
-        return out.astype(self._out_dtype) if self._out_dtype is not None else out
 
 
 class ConvBNReLU(nnx.Module):

@@ -61,9 +61,11 @@ def conv2d(
       padding: int / (ph, pw) torch-style symmetric padding, or a lax string
         ('SAME', 'VALID') — the reference only needs the integer form.
       groups: feature group count (groups == Cin -> depthwise).
-      preferred_dtype: accumulation dtype passed to XLA. For bf16 pipelines
-        the MXU accumulates in f32 and the result is cast back to the common
-        operand dtype, so convs chain without dtype drift.
+      preferred_dtype: explicit XLA accumulation dtype. Leave None in
+        differentiable code: the conv transpose (grad) rule cannot handle a
+        preferred dtype that differs from the operands, and the TPU MXU
+        already accumulates bf16 products in f32 internally
+        (xla_allow_excess_precision), so bf16 pipelines lose nothing.
     """
     if isinstance(padding, str):
         pad = padding
@@ -72,9 +74,6 @@ def conv2d(
     common = jnp.promote_types(x.dtype, w.dtype)
     x = x.astype(common)
     w = w.astype(common)
-    acc = preferred_dtype
-    if acc is None and common == jnp.bfloat16:
-        acc = jnp.float32
     out = lax.conv_general_dilated(
         x,
         w,
@@ -83,7 +82,7 @@ def conv2d(
         rhs_dilation=_pair(dilation),
         dimension_numbers=DIMENSION_NUMBERS,
         feature_group_count=groups,
-        preferred_element_type=acc,
+        preferred_element_type=preferred_dtype,
     )
     if preferred_dtype is None:
         out = out.astype(common)

@@ -32,6 +32,12 @@ class LoopConfig:
     dataset_name: str = "dataset"
     output_stride: int = 16
     save_best: bool = True
+    # jax.profiler trace of steps [profile_start, profile_start+profile_steps)
+    # written to profile_dir (open with tensorboard-plugin-profile);
+    # SURVEY.md §5.1.
+    profile_dir: str | None = None
+    profile_start: int = 12
+    profile_steps: int = 5
 
 
 def validate(model: nnx.Module, loader: Iterator, *, num_classes: int,
@@ -82,11 +88,18 @@ def train_loop(
         except StopIteration:
             log_fn("train iterator exhausted before total_itrs")
             break
+        if cfg.profile_dir is not None and cur + 1 == cfg.profile_start:
+            jax.profiler.start_trace(cfg.profile_dir)
         if teacher_state is not None:
             state, metrics = step_fn(state, batch, teacher_state)
         else:
             state, metrics = step_fn(state, batch)
         cur += 1
+        if (cfg.profile_dir is not None
+                and cur == cfg.profile_start + cfg.profile_steps):
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            log_fn(f"profiler trace written to {cfg.profile_dir}")
 
         if cur % cfg.print_interval == 0:
             jax.block_until_ready(metrics["loss"])

@@ -15,6 +15,7 @@ inputs make XLA insert the gradient all-reduce and global BN moments
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -59,7 +60,7 @@ def make_train_step(model: nnx.Module, tx: optax.GradientTransformation, *,
                           opt_state=tx.init(params0),
                           step=jnp.zeros((), jnp.int32))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step_fn(state: TrainState, batch):
         images, labels = batch
         model = nnx.merge(graphdef, state.params, state.rest)
@@ -131,7 +132,7 @@ def make_kd_train_step(
                           opt_state=tx.init(params0),
                           step=jnp.zeros((), jnp.int32))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step_fn(state: TrainState, batch, teacher_state=()):
         if cached_teacher:
             images, labels, t_logits = batch

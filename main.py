@@ -86,6 +86,8 @@ def get_argparser() -> argparse.ArgumentParser:
     # Visualization (reference parity; tensorboard instead of visdom)
     p.add_argument("--enable_vis", action="store_true")
     p.add_argument("--vis_dir", type=str, default="runs")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of a few steps here")
     return p
 
 
@@ -186,6 +188,7 @@ def main(argv=None) -> int:
                       beta=opts.kd_beta, gamma=opts.kd_gamma,
                       hint_taps=hint_taps, loss_type=opts.loss_type)
 
+    use_cached = bool(opts.kd and opts.cached_logits)
     if opts.kd:
         teacher = build_model(opts.teacher_model, num_classes,
                               opts.output_stride, dtype=dtype,
@@ -214,7 +217,21 @@ def main(argv=None) -> int:
         replaced = replace_cheap_convs(model, spec, scope=scope, rngs=rngs)
         print(f"Cheap-conv student: replaced {len(replaced)} convs "
               f"({opts.cheap_conv}, init={opts.cheap_init})")
-        if hint_taps:
+        if use_cached:
+            # config #1 mode: student trains against precomputed logits;
+            # the teacher forward leaves the hot loop entirely.
+            from kd_cheap_conv_tpu.kd.cached import (
+                CachedLogitsDataset, precompute_teacher_logits)
+
+            if not os.path.exists(opts.cached_logits):
+                print(f"Precomputing teacher logits -> {opts.cached_logits}")
+                precompute_teacher_logits(teacher, train_dst,
+                                          opts.cached_logits,
+                                          batch_size=opts.val_batch_size,
+                                          seed=opts.random_seed)
+            train_dst = CachedLogitsDataset(train_dst, opts.cached_logits)
+            teacher = None
+        if hint_taps and not use_cached:
             adapters = make_hint_adapters(model, teacher, hint_taps,
                                           dtype=dtype, rngs=rngs)
 
@@ -232,7 +249,8 @@ def main(argv=None) -> int:
 
     if opts.kd:
         init_state, step_fn, t_state = make_kd_train_step(
-            model, teacher, tx, kd_cfg, adapters=adapters)
+            model, teacher, tx, kd_cfg, adapters=adapters,
+            cached_teacher=use_cached)
     else:
         init_state, step_fn = make_train_step(model, tx,
                                               loss_type=opts.loss_type)
@@ -276,7 +294,8 @@ def main(argv=None) -> int:
                           val_interval=opts.val_interval,
                           ckpt_dir=opts.ckpt_dir, model_name=opts.model,
                           dataset_name=opts.dataset,
-                          output_stride=opts.output_stride)
+                          output_stride=opts.output_stride,
+                          profile_dir=opts.profile_dir)
     state, best = train_loop(state=state, step_fn=step_fn,
                              train_iter=train_iter, cfg=loop_cfg,
                              teacher_state=t_state, validate_fn=validate_fn)

@@ -196,7 +196,8 @@ def test_progressive_freeze_only_updates_stage():
     cfg = KDConfig()
     init, step, t_state = make_kd_train_step(student, teacher, tx, cfg)
     state = init()
-    before = jax.tree.map(lambda x: x, state.params)
+    # materialize host copies: the step donates its input state buffers
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
     state, _ = step(state, _tiny_batch(), t_state)
 
     def _changed(path, a, b):
