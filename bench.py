@@ -41,7 +41,7 @@ def main() -> None:
 
     cfg = KDConfig(temperature=4.0, alpha=0.5, beta=0.5)
     _, params, _ = nnx.split(student, nnx.Param, ...)
-    tx = make_optimizer({"student": params}, lr=0.01, max_iters=10_000,
+    tx = make_optimizer({"student": params}, lr=1e-3, max_iters=10_000,
                         label_fn=lambda d: (
                             "backbone" if d.startswith("student.backbone")
                             else "head"))

@@ -92,14 +92,19 @@ def kd_total_loss(
     student_taps: dict | None = None,
     teacher_taps: dict | None = None,
     adapters: HintAdapters | None = None,
+    channel_axis: int = -1,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Returns (total_loss, aux dict of unweighted component losses)."""
+    """Returns (total_loss, aux dict of unweighted component losses).
+
+    channel_axis=1 for the class-major (N,C,H,W) hot path (see
+    models.deeplab.SegmentationModel class_major)."""
     task_fn = focal_loss if cfg.loss_type == "focal_loss" else cross_entropy
-    l_task = task_fn(student_logits, labels)
+    l_task = task_fn(student_logits, labels, channel_axis=channel_axis)
     l_kd = kd_kl_loss(
         student_logits, teacher_logits,
         temperature=cfg.temperature,
         labels=labels if cfg.kl_mask_ignored else None,
+        channel_axis=channel_axis,
     )
     l_hint = jnp.zeros((), jnp.float32)
     if cfg.hint_taps:

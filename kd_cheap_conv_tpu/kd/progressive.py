@@ -71,17 +71,23 @@ def run_progressive(
         replaced_so_far += replaced
         log_fn(f"[progressive] stage {si} {stage}: replaced {len(replaced)} convs")
 
+        adapters = (make_hint_adapters(student, teacher, cfg.kd.hint_taps,
+                                       input_hw=input_hw)
+                    if cfg.kd.hint_taps else None)
         _, params, _ = nnx.split(student, nnx.Param, ...)
+        opt_params = {"student": params}
+        if adapters is not None:
+            _, a_params = nnx.split(adapters, nnx.Param)
+            opt_params["adapters"] = a_params
         tx = make_optimizer(
-            {"student": params},
+            opt_params,
             lr=cfg.stage_lr, max_iters=cfg.stage_iters,
             weight_decay=cfg.weight_decay,
             label_fn=lambda d, stage=stage: (
-                "head" if any(d.startswith("student." + p) for p in stage)
+                "head" if (any(d.startswith("student." + p) for p in stage)
+                           or d.startswith("adapters"))
                 else "frozen"),
         )
-        adapters = make_hint_adapters(student, teacher, cfg.kd.hint_taps,
-                                      input_hw=input_hw)
         init, step, t_state = make_kd_train_step(
             student, teacher, tx, cfg.kd, adapters=adapters)
         state = init()
@@ -99,15 +105,20 @@ def run_progressive(
 
     # end-to-end fine-tune, everything trainable
     if cfg.finetune_iters > 0:
+        adapters = (make_hint_adapters(student, teacher, cfg.kd.hint_taps,
+                                       input_hw=input_hw)
+                    if cfg.kd.hint_taps else None)
         _, params, _ = nnx.split(student, nnx.Param, ...)
-        tx = make_optimizer({"student": params}, lr=cfg.lr,
+        opt_params = {"student": params}
+        if adapters is not None:
+            _, a_params = nnx.split(adapters, nnx.Param)
+            opt_params["adapters"] = a_params
+        tx = make_optimizer(opt_params, lr=cfg.lr,
                             max_iters=cfg.finetune_iters,
                             weight_decay=cfg.weight_decay,
                             label_fn=lambda d: (
                                 "backbone" if d.startswith("student.backbone")
                                 else "head"))
-        adapters = make_hint_adapters(student, teacher, cfg.kd.hint_taps,
-                                      input_hw=input_hw)
         init, step, t_state = make_kd_train_step(
             student, teacher, tx, cfg.kd, adapters=adapters)
         state = init()

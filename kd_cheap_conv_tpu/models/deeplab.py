@@ -59,19 +59,40 @@ class DeepLabHead(nnx.Module):
 
 
 class SegmentationModel(nnx.Module):
-    """backbone -> head -> bilinear upsample to input size (logits NHWC)."""
+    """backbone -> head -> bilinear upsample to input size.
+
+    Logits are NHWC by default (reference semantics). With
+    `class_major=True` they come back as (N, C, H, W): the transpose happens
+    at head resolution (cheap) and the 16x bilinear upsample runs in the
+    class-major layout, so the full-res logits never materialize with a
+    21-wide lane dim (which TPU pads to 128 — 6x memory). The loss path uses
+    this (ops.losses channel_axis=1); numerics are identical.
+    """
 
     def __init__(self, backbone: nnx.Module, classifier: nnx.Module):
         self.backbone = backbone
         self.classifier = classifier
 
-    def __call__(self, x, *, return_features: bool = False):
+    def __call__(self, x, *, return_features: bool = False,
+                 class_major: bool = False):
+        import jax.numpy as jnp
+
+        from ..ops.resize import resize_bilinear_nchw
+
         size = x.shape[1:3]
         feats = self.backbone(x)
         if return_features:
             logits, head_feats = self.classifier(feats, return_features=True)
+        else:
+            logits = self.classifier(feats)
+            head_feats = None
+        if class_major:
+            logits = jnp.transpose(logits, (0, 3, 1, 2))
+            logits = resize_bilinear_nchw(logits, size)
+        else:
             logits = resize_bilinear(logits, size)
-            taps = {"low_level": feats["low_level"], "out": feats["out"], **head_feats}
+        if return_features:
+            taps = {"low_level": feats["low_level"], "out": feats["out"],
+                    **head_feats}
             return logits, taps
-        logits = self.classifier(feats)
-        return resize_bilinear(logits, size)
+        return logits

@@ -33,6 +33,21 @@ def resize_bilinear(
     return _resize_align_corners(x, oh, ow)
 
 
+def resize_bilinear_nchw(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Bilinear resize of (N, C, H, W), torch align_corners=False semantics.
+
+    Class-major layout: on TPU a (N,H,W,21) f32 tensor pads its 21-lane minor
+    dim to 128 (6x memory blowup); (N,21,H,W) pads only the spatial minor
+    dims (~25%). Used by the class-major loss path (see train.steps).
+    """
+    n, c, h, w = x.shape
+    oh, ow = int(size[0]), int(size[1])
+    if (oh, ow) == (h, w):
+        return x
+    return jax.image.resize(x, (n, c, oh, ow), method="bilinear",
+                            antialias=False)
+
+
 def _axis_weights(in_size: int, out_size: int, dtype) -> jax.Array:
     """Dense (out, in) interpolation matrix for align_corners=True."""
     if out_size == 1 or in_size == 1:

@@ -66,7 +66,9 @@ def make_train_step(model: nnx.Module, tx: optax.GradientTransformation, *,
         model = nnx.merge(graphdef, state.params, state.rest)
 
         def loss_fn(model):
-            return task(model(images), labels)
+            # class-major logits: avoids TPU lane-padding the 21-class dim
+            return task(model(images, class_major=True), labels,
+                        channel_axis=1)
 
         loss, grads = nnx.value_and_grad(loss_fn)(model)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -128,23 +130,31 @@ def make_kd_train_step(
     need_taps = bool(cfg.hint_taps)
 
     def init_state() -> TrainState:
-        return TrainState(params=params0, rest=s_rest,
-                          opt_state=tx.init(params0),
+        # Copy buffers: the step donates its state, and a student built by
+        # cloning the teacher ALIASES teacher arrays for non-replaced layers
+        # — donating a buffer that also arrives via teacher_state is an XLA
+        # error (`f(donate(a), a)`). One-time copy, zero steady-state cost.
+        params = jax.tree.map(jnp.copy, params0)
+        rest = jax.tree.map(jnp.copy, s_rest)
+        return TrainState(params=params, rest=rest,
+                          opt_state=tx.init(params),
                           step=jnp.zeros((), jnp.int32))
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step_fn(state: TrainState, batch, teacher_state=()):
         if cached_teacher:
-            images, labels, t_logits = batch
+            images, labels, t_logits = batch  # cached logits arrive NHWC
+            t_logits = jnp.transpose(t_logits, (0, 3, 1, 2))
             t_taps = None
         else:
             images, labels = batch
             t_model = nnx.merge(t_graphdef, teacher_state)
             if need_taps:
-                t_logits, t_taps = t_model(images, return_features=True)
+                t_logits, t_taps = t_model(images, return_features=True,
+                                           class_major=True)
                 t_taps = jax.lax.stop_gradient(t_taps)
             else:
-                t_logits = t_model(images)
+                t_logits = t_model(images, class_major=True)
                 t_taps = None
             t_logits = jax.lax.stop_gradient(t_logits)
 
@@ -155,12 +165,14 @@ def make_kd_train_step(
         if adp is not None:
             def loss_fn(s_model, adp):
                 if need_taps:
-                    s_logits, s_taps = s_model(images, return_features=True)
+                    s_logits, s_taps = s_model(images, return_features=True,
+                                               class_major=True)
                 else:
-                    s_logits, s_taps = s_model(images), None
+                    s_logits, s_taps = s_model(images, class_major=True), None
                 total, aux = kd_total_loss(
                     s_logits, t_logits, labels, cfg,
-                    student_taps=s_taps, teacher_taps=t_taps, adapters=adp)
+                    student_taps=s_taps, teacher_taps=t_taps, adapters=adp,
+                    channel_axis=1)
                 return total, aux
 
             (loss, aux), grads = nnx.value_and_grad(
@@ -169,12 +181,14 @@ def make_kd_train_step(
         else:
             def loss_fn(s_model):
                 if need_taps:
-                    s_logits, s_taps = s_model(images, return_features=True)
+                    s_logits, s_taps = s_model(images, return_features=True,
+                                               class_major=True)
                 else:
-                    s_logits, s_taps = s_model(images), None
+                    s_logits, s_taps = s_model(images, class_major=True), None
                 total, aux = kd_total_loss(
                     s_logits, t_logits, labels, cfg,
-                    student_taps=s_taps, teacher_taps=t_taps, adapters=None)
+                    student_taps=s_taps, teacher_taps=t_taps, adapters=None,
+                    channel_axis=1)
                 return total, aux
 
             (loss, aux), grads = nnx.value_and_grad(
@@ -200,8 +214,8 @@ def make_eval_step(model_graphdef, *, num_classes: int):
     def eval_step(params, rest, batch, cm):
         images, labels = batch
         m = nnx.merge(model_graphdef, params, rest)
-        logits = m(images)
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits = m(images, class_major=True)
+        preds = jnp.argmax(logits, axis=1).astype(jnp.int32)
         valid = labels != 255
         # confusion matrix accumulation: index = true * C + pred
         idx = jnp.where(valid, labels * num_classes + preds, num_classes * num_classes)

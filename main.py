@@ -235,6 +235,39 @@ def main(argv=None) -> int:
             adapters = make_hint_adapters(model, teacher, hint_taps,
                                           dtype=dtype, rngs=rngs)
 
+    if opts.kd and opts.progressive:
+        # config #4: stage-by-stage replacement + distill, then fine-tune.
+        from kd_cheap_conv_tpu.kd.progressive import (
+            ProgressiveConfig, run_progressive)
+        from kd_cheap_conv_tpu.kd.replace import CheapConvSpec as _Spec
+
+        def batch_iter_factory():
+            return prefetch_to_device(
+                make_loader(train_dst, batch_size=opts.batch_size,
+                            shuffle=True, seed=opts.random_seed,
+                            num_workers=opts.num_workers),
+                mesh=mesh)
+
+        pcfg = ProgressiveConfig(
+            stage_iters=opts.stage_iters,
+            finetune_iters=opts.finetune_iters,
+            spec=_Spec(kind=opts.cheap_conv, groups=opts.cheap_groups,
+                       init=opts.cheap_init),
+            kd=kd_cfg, lr=opts.lr, weight_decay=opts.weight_decay)
+        if teacher is None:
+            print("--progressive requires a live teacher (no --cached_logits)",
+                  file=sys.stderr)
+            return 2
+        # student starts as a clone of the teacher (weights inherited);
+        # stages are replaced one by one inside run_progressive.
+        student = nnx.clone(teacher)
+        student.train()
+        _, history = run_progressive(
+            teacher, student, batch_iter_factory, pcfg,
+            input_hw=(opts.crop_size, opts.crop_size))
+        print(f"Progressive schedule done: {len(history)} stages")
+        return 0
+
     _, params, _ = nnx.split(model, nnx.Param, ...)
     opt_params = {"student": params} if opts.kd else params
     if opts.kd and adapters is not None:
@@ -268,25 +301,25 @@ def main(argv=None) -> int:
                     seed=opts.random_seed, num_workers=opts.num_workers),
         mesh=mesh)
 
-    # validate() uses the student graph in eval mode with current params
-    eval_model = model
+    # Build the eval step ONCE (eval-mode graphdef; cached jit across val
+    # intervals — rebuilding it per call would retrace every validation).
+    from kd_cheap_conv_tpu.train.steps import make_eval_step
+    from kd_cheap_conv_tpu.utils import StreamSegMetrics
+
+    model.eval()
+    eval_graphdef, _, _ = nnx.split(model, nnx.Param, ...)
+    model.train()
+    eval_step = make_eval_step(eval_graphdef, num_classes=num_classes)
 
     def validate_fn(st):
-        eval_model.eval()
         p = st.params["student"] if opts.kd else st.params
-        graphdef, _, _ = nnx.split(eval_model, nnx.Param, ...)
-        from kd_cheap_conv_tpu.train.steps import make_eval_step
-        ev = make_eval_step(graphdef, num_classes=num_classes)
         val_loader = prefetch_to_device(
             make_loader(val_dst, batch_size=opts.val_batch_size,
                         shuffle=False, drop_last=False, num_epochs=1,
                         num_workers=opts.num_workers))
-        import jax.numpy as jnp2
-        cm = jnp2.zeros((num_classes, num_classes), jnp2.int32)
+        cm = jnp.zeros((num_classes, num_classes), jnp.int32)
         for batch in val_loader:
-            cm, _ = ev(p, st.rest, batch, cm)
-        eval_model.train()
-        from kd_cheap_conv_tpu.utils import StreamSegMetrics
+            cm, _ = eval_step(p, st.rest, batch, cm)
         return StreamSegMetrics.from_confusion_matrix(np.asarray(cm))
 
     loop_cfg = LoopConfig(total_itrs=opts.total_itrs,

@@ -91,3 +91,14 @@ def test_bf16_compute_dtype():
     y = m(_x(33, 33).astype(jnp.bfloat16))
     assert y.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(y.astype(jnp.float32)).all())
+
+
+def test_class_major_logits_match_nhwc():
+    m = build_model("deeplabv3plus_mobilenet", num_classes=7)
+    m.eval()
+    x = _x(33, 33)
+    nhwc = m(x)
+    nchw = m(x, class_major=True)
+    np.testing.assert_allclose(np.asarray(nchw),
+                               np.asarray(nhwc).transpose(0, 3, 1, 2),
+                               rtol=1e-5, atol=1e-5)
