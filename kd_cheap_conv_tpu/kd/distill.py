@@ -29,6 +29,13 @@ class KDConfig:
     hint_taps: tuple[str, ...] = ()   # subset of {'low_level','out','head'}
     loss_type: str = "cross_entropy"  # 'cross_entropy' | 'focal_loss'
     kl_mask_ignored: bool = False     # mask KL at ignore-index pixels
+    # Teacher logits are clipped to +-this before the KL. A trained teacher's
+    # logits are O(10) so this is a no-op; an UNTRAINED eval-mode teacher
+    # (benchmarks) emits |logits|~1e6, which trips TPU XLA fusion numerics
+    # (exp range reduction NaN/inf when teacher fwd + student bwd co-compile;
+    # isolated on v5e). Clipping preserves the softened distribution shape
+    # for any sane teacher.
+    teacher_logit_clip: float = 3.0e4
 
 
 class HintAdapters(nnx.Module):
@@ -97,7 +104,41 @@ def kd_total_loss(
     """Returns (total_loss, aux dict of unweighted component losses).
 
     channel_axis=1 for the class-major (N,C,H,W) hot path (see
-    models.deeplab.SegmentationModel class_major)."""
+    models.deeplab.SegmentationModel class_major). On TPU that path runs the
+    fused single-pass Pallas CE+KL kernel (ops.pallas.losses) — the 513²x21
+    logits cross HBM once instead of ~10x (32ms -> ~2ms fwd measured)."""
+    from .. import config
+
+    use_fused = (
+        channel_axis == 1
+        and cfg.loss_type == "cross_entropy"
+        and not cfg.kl_mask_ignored
+        and config.pallas_separable_enabled()
+    )
+    if use_fused:
+        from ..ops.pallas.losses import fused_ce_kl_loss
+
+        total, l_task, l_kd = fused_ce_kl_loss(
+            student_logits, teacher_logits, labels,
+            cfg.temperature, cfg.alpha, cfg.beta,
+            255, cfg.teacher_logit_clip, False)
+        l_hint = jnp.zeros((), jnp.float32)
+        if cfg.hint_taps:
+            assert student_taps is not None and teacher_taps is not None
+            for tap in cfg.hint_taps:
+                s = student_taps[tap]
+                t = teacher_taps[tap]
+                if adapters is not None:
+                    s = adapters(tap, s)
+                if s.shape[1:3] != t.shape[1:3]:
+                    s = resize_bilinear(s, t.shape[1:3])
+                l_hint = l_hint + hint_l2_loss(s, t)
+            total = total + cfg.gamma * l_hint
+        return total, {"task": l_task, "kd": l_kd, "hint": l_hint}
+
+    if cfg.teacher_logit_clip:
+        c = float(cfg.teacher_logit_clip)
+        teacher_logits = jnp.clip(teacher_logits, -c, c)
     task_fn = focal_loss if cfg.loss_type == "focal_loss" else cross_entropy
     l_task = task_fn(student_logits, labels, channel_axis=channel_axis)
     l_kd = kd_kl_loss(

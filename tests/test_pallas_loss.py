@@ -1,0 +1,73 @@
+"""Fused CE+KL Pallas loss kernel vs the jnp reference: values + gradients
+(interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kd_cheap_conv_tpu.ops.losses import cross_entropy, kd_kl_loss
+from kd_cheap_conv_tpu.ops.pallas.losses import fused_ce_kl_loss
+
+RNG = np.random.RandomState(0)
+
+
+def _data(n=2, c=21, h=19, w=23):  # h deliberately not a multiple of tile
+    s = jnp.asarray(RNG.randn(n, c, h, w), jnp.float32)
+    t = jnp.asarray(RNG.randn(n, c, h, w) * 3, jnp.float32)
+    lbl = RNG.randint(0, c, (n, h, w)).astype(np.int32)
+    lbl[0, :3, :5] = 255
+    return s, t, jnp.asarray(lbl)
+
+
+def _ref(s, t, lbl, T=4.0, alpha=0.5, beta=0.5):
+    task = cross_entropy(s, lbl, channel_axis=1)
+    kd = kd_kl_loss(s, t, temperature=T, channel_axis=1)
+    return alpha * task + beta * kd, task, kd
+
+
+def test_fused_loss_matches_reference_values():
+    s, t, lbl = _data()
+    total, task, kd = fused_ce_kl_loss(s, t, lbl, 4.0, 0.5, 0.5, 255, 3e4, True)
+    rtotal, rtask, rkd = _ref(s, t, lbl)
+    np.testing.assert_allclose(float(task), float(rtask), rtol=1e-5)
+    np.testing.assert_allclose(float(kd), float(rkd), rtol=1e-5)
+    np.testing.assert_allclose(float(total), float(rtotal), rtol=1e-5)
+
+
+def test_fused_loss_grad_matches_reference():
+    s, t, lbl = _data()
+
+    def f_fused(s):
+        total, _, _ = fused_ce_kl_loss(s, t, lbl, 4.0, 0.5, 0.5, 255, 3e4, True)
+        return total
+
+    def f_ref(s):
+        return _ref(s, t, lbl)[0]
+
+    g1 = jax.grad(f_fused)(s)
+    g2 = jax.grad(f_ref)(s)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_loss_bf16_inputs():
+    s, t, lbl = _data(h=16)
+    sb, tb = s.astype(jnp.bfloat16), t.astype(jnp.bfloat16)
+    total, task, kd = fused_ce_kl_loss(sb, tb, lbl, 4.0, 0.5, 0.5, 255, 3e4, True)
+    rtotal, _, _ = _ref(sb.astype(jnp.float32), tb.astype(jnp.float32), lbl)
+    np.testing.assert_allclose(float(total), float(rtotal), rtol=1e-3)
+    g = jax.grad(lambda s: fused_ce_kl_loss(s, tb, lbl, 4.0, 0.5, 0.5,
+                                            255, 3e4, True)[0])(sb)
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_fused_loss_extreme_teacher_logits():
+    s, t, lbl = _data(h=16)
+    t_huge = t * 1.2e6
+    total, task, kd = fused_ce_kl_loss(s, t_huge, lbl, 4.0, 0.5, 0.5,
+                                       255, 3e4, True)
+    assert np.isfinite(float(total))
+    g = jax.grad(lambda s: fused_ce_kl_loss(s, t_huge, lbl, 4.0, 0.5, 0.5,
+                                            255, 3e4, True)[0])(s)
+    assert bool(jnp.isfinite(g).all())
