@@ -73,3 +73,72 @@ def kd_step_flops_per_image(teacher: nnx.Module, student: nnx.Module,
     t = conv_fwd_flops(teacher, hw)
     s = conv_fwd_flops(student, hw)
     return t + 3.0 * s
+
+
+# ---------------------------------------------------------------------------
+# memory-aware roofline (BASELINE.md: "replace this table with ... the exact
+# analytic roofline computed from the real conv shapes")
+# ---------------------------------------------------------------------------
+
+def _conv_roofline_seconds(jaxpr, *, peak_flops: float, hbm_bw: float,
+                           itemsize: int) -> float:
+    """Sum over convs of max(compute-time, memory-time): each conv reads its
+    input + kernel and writes its output at least once; depthwise/grouped
+    convs have low arithmetic intensity and are bandwidth-bound on TPU."""
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "conv_general_dilated":
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            out = eqn.outvars[0].aval
+            dn = eqn.params["dimension_numbers"]
+            rs = dn.rhs_spec
+            cin_per_group = rhs.shape[rs[1]]
+            k_spatial = float(np.prod([rhs.shape[i] for i in rs[2:]]))
+            flops = 2.0 * float(np.prod(out.shape)) * k_spatial * cin_per_group
+            bytes_ = (float(np.prod(lhs.shape)) + float(np.prod(out.shape))
+                      ) * itemsize + float(np.prod(rhs.shape)) * 4
+            total += max(flops / peak_flops, bytes_ / hbm_bw)
+        for v in eqn.params.values():
+            sub = getattr(v, "jaxpr", None)
+            if sub is not None:
+                total += _conv_roofline_seconds(
+                    sub, peak_flops=peak_flops, hbm_bw=hbm_bw,
+                    itemsize=itemsize)
+            if isinstance(v, (list, tuple)):
+                for vv in v:
+                    sub = getattr(vv, "jaxpr", None)
+                    if sub is not None:
+                        total += _conv_roofline_seconds(
+                            sub, peak_flops=peak_flops, hbm_bw=hbm_bw,
+                            itemsize=itemsize)
+    return total
+
+
+def conv_roofline_seconds(model: nnx.Module, hw: int, *, batch: int = 1,
+                          peak_flops: float = 197e12, hbm_bw: float = 819e9,
+                          itemsize: int = 2) -> float:
+    """Lower-bound wall time of one forward at (batch, hw, hw, 3):
+    per-conv max(FLOPs/peak, bytes/bandwidth), v5e defaults (197 bf16
+    TFLOP/s, 819 GB/s HBM)."""
+    model_was = _set_eval(model)
+    graphdef, state = nnx.split(model)
+
+    def fwd(state, x):
+        return nnx.merge(graphdef, state)(x)
+
+    x = jnp.zeros((batch, hw, hw, 3), jnp.float32)
+    jaxpr = jax.make_jaxpr(fwd)(state, x)
+    secs = _conv_roofline_seconds(jaxpr.jaxpr, peak_flops=peak_flops,
+                                  hbm_bw=hbm_bw, itemsize=itemsize)
+    _restore(model, model_was)
+    return secs
+
+
+def kd_step_roofline_img_per_s(teacher: nnx.Module, student: nnx.Module,
+                               hw: int, *, batch: int = 8) -> float:
+    """Analytic images/sec upper bound for the KD step on one v5e chip:
+    teacher fwd + 3x student fwd (bwd ~ 2x fwd in both FLOPs and bytes),
+    memory-aware per conv. Ignores BN/loss/optimizer — a true upper bound."""
+    t = conv_roofline_seconds(teacher, hw, batch=batch)
+    s = conv_roofline_seconds(student, hw, batch=batch)
+    return batch / (t + 3.0 * s)

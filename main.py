@@ -88,6 +88,11 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--vis_dir", type=str, default="runs")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
+    # TTA eval (config #5): multi-scale + flip, batched in one XLA program
+    p.add_argument("--tta", action="store_true",
+                   help="multi-scale+flip TTA during --test_only")
+    p.add_argument("--tta_scales", type=str, default="0.5,0.75,1.0,1.25,1.5,1.75")
+    p.add_argument("--val_results_dir", type=str, default="results")
     return p
 
 
@@ -169,14 +174,52 @@ def main(argv=None) -> int:
               f"(itrs={int(restored['cur_itrs'])})")
 
     if opts.test_only:
+        from kd_cheap_conv_tpu.utils import StreamSegMetrics
+
         model.eval()
         val_loader = prefetch_to_device(
             make_loader(val_dst, batch_size=opts.val_batch_size, shuffle=False,
                         drop_last=False, num_epochs=1,
                         num_workers=opts.num_workers),
             mesh=None)
-        results = validate(model, val_loader, num_classes=num_classes)
-        from kd_cheap_conv_tpu.utils import StreamSegMetrics
+        if opts.tta:
+            # config #5: batched multi-scale + flip TTA, one XLA program
+            from kd_cheap_conv_tpu.inference import make_tta_predict_fn
+
+            scales = tuple(float(s) for s in opts.tta_scales.split(","))
+            tta_fn = make_tta_predict_fn(model, scales=scales, flip=True)
+            metrics_acc = StreamSegMetrics(num_classes)
+            saved = 0
+            for images, labels in val_loader:
+                preds, _ = tta_fn(images)
+                metrics_acc.update(np.asarray(labels), np.asarray(preds))
+                if opts.save_val_results and saved < 8:
+                    from kd_cheap_conv_tpu.utils.visualizer import save_val_results
+                    decode = getattr(val_dst, "decode_target",
+                                     type(val_dst).decode_target)
+                    save_val_results(opts.val_results_dir, saved,
+                                     np.asarray(images[0]),
+                                     np.asarray(labels[0]),
+                                     np.asarray(preds[0]), decode)
+                    saved += 1
+            results = metrics_acc.get_results()
+        else:
+            results = validate(model, val_loader, num_classes=num_classes)
+            if opts.save_val_results:
+                from kd_cheap_conv_tpu.inference import make_predict_fn
+                from kd_cheap_conv_tpu.utils.visualizer import save_val_results
+                predict = make_predict_fn(model)
+                decode = getattr(val_dst, "decode_target",
+                                 type(val_dst).decode_target)
+                loader2 = make_loader(val_dst, batch_size=1, shuffle=False,
+                                      drop_last=False, num_epochs=1,
+                                      num_workers=1)
+                for i, (images, labels) in enumerate(loader2):
+                    if i >= 8:
+                        break
+                    preds = predict(jnp.asarray(images))
+                    save_val_results(opts.val_results_dir, i, images[0],
+                                     labels[0], np.asarray(preds[0]), decode)
         print(StreamSegMetrics.to_str(results))
         return 0
 

@@ -52,3 +52,23 @@ def test_cli_train_and_eval_roundtrip(tmp_path, capsys):
 
 def test_cli_download_flag_errors():
     assert cli.main(["--download"]) == 2
+
+
+def test_cli_tta_eval(tmp_path, capsys):
+    # config #5 surface: --test_only --tta with save_val_results PNG dumps
+    out_dir = str(tmp_path / "results")
+    args = [
+        "--dataset", "synthetic",
+        "--model", "deeplabv3plus_mobilenet",
+        "--num_classes", "6",
+        "--crop_size", "33",
+        "--val_batch_size", "4",
+        "--test_only", "--tta", "--tta_scales", "0.75,1.0",
+        "--save_val_results", "--val_results_dir", out_dir,
+    ]
+    assert cli.main(args) == 0
+    out = capsys.readouterr().out
+    assert "Mean IoU" in out
+    import glob
+    pngs = glob.glob(os.path.join(out_dir, "*.png"))
+    assert len(pngs) >= 4  # image/target/pred/overlay for >=1 sample
