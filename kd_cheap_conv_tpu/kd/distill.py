@@ -109,11 +109,18 @@ def kd_total_loss(
     logits cross HBM once instead of ~10x (32ms -> ~2ms fwd measured)."""
     from .. import config
 
+    import jax
+
     use_fused = (
         channel_axis == 1
         and cfg.loss_type == "cross_entropy"
         and not cfg.kl_mask_ignored
         and config.pallas_separable_enabled()
+        # pallas_call has no SPMD partitioning rule under plain jit: on a
+        # multi-device mesh XLA would gather the sharded logits. Fall back
+        # to the (fully partitionable) jnp path there until the kernel is
+        # shard_map-wrapped. Single chip = the bench/serving hot path.
+        and jax.device_count() == 1
     )
     if use_fused:
         from ..ops.pallas.losses import fused_ce_kl_loss
