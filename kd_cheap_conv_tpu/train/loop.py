@@ -104,12 +104,15 @@ def train_loop(
         if cur % cfg.print_interval == 0:
             jax.block_until_ready(metrics["loss"])
             now = time.perf_counter()
-            meter.update((now - t_last) / cfg.print_interval, cfg.print_interval)
+            # windowed rate: only this print interval (the first window eats
+            # the compile; a cumulative average would hide steady-state rate)
+            step_s = (now - t_last) / cfg.print_interval
+            meter.update(step_s, cfg.print_interval)
             t_last = now
             n_img = batch[0].shape[0]
             parts = ", ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
             log_fn(f"Itrs {cur}/{cfg.total_itrs}: {parts} "
-                   f"({n_img / max(meter.avg, 1e-9):.1f} img/s)")
+                   f"({n_img / max(step_s, 1e-9):.1f} img/s)")
 
         if cur % cfg.val_interval == 0 or cur >= cfg.total_itrs:
             latest = checkpoint_path(cfg.ckpt_dir, "latest", cfg.model_name,
