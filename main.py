@@ -320,6 +320,7 @@ def main(argv=None) -> int:
     tx = make_optimizer(
         opt_params, lr=opts.lr, max_iters=opts.total_itrs,
         weight_decay=opts.weight_decay,
+        lr_policy=opts.lr_policy, step_size=opts.step_size,
         label_fn=lambda d: ("backbone" if d.startswith(prefix + "backbone")
                             else "head"))
 

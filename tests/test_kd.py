@@ -228,3 +228,55 @@ def test_supervised_train_step():
         if l0 is None:
             l0 = float(metrics["loss"])
     assert float(metrics["loss"]) < l0
+
+
+def test_step_lr_schedule():
+    from kd_cheap_conv_tpu.train.optim import poly_schedule, step_schedule
+    s = step_schedule(0.1, step_size=100, gamma=0.1)
+    assert float(s(0)) == pytest.approx(0.1)
+    assert float(s(99)) == pytest.approx(0.1)
+    assert float(s(100)) == pytest.approx(0.01)
+    assert float(s(250)) == pytest.approx(0.001)
+    p = poly_schedule(0.1, max_iters=100, power=0.9)
+    assert float(p(0)) == pytest.approx(0.1)
+    assert float(p(100)) == pytest.approx(0.0)
+
+
+def test_fused_sgd_matches_multi_transform():
+    m = build_model("deeplabv3plus_mobilenet", num_classes=6)
+    _, params, _ = nnx.split(m, nnx.Param, ...)
+    grads = jax.tree.map(lambda p: jnp.ones_like(p) * 0.01, params)
+
+    kw = dict(lr=0.02, max_iters=100, weight_decay=1e-4)
+    tx_f = make_optimizer(params, fused=True, **kw)
+    tx_u = make_optimizer(params, fused=False, **kw)
+    sf, su = tx_f.init(params), tx_u.init(params)
+    p_f = p_u = params
+    import optax
+    for _ in range(3):
+        uf, sf = tx_f.update(grads, sf, p_f)
+        uu, su = tx_u.update(grads, su, p_u)
+        p_f = optax.apply_updates(p_f, uf)
+        p_u = optax.apply_updates(p_u, uu)
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_fused_sgd_respects_frozen_group():
+    m = build_model("deeplabv3plus_mobilenet", num_classes=6)
+    _, params, _ = nnx.split(m, nnx.Param, ...)
+    grads = jax.tree.map(lambda p: jnp.ones_like(p), params)
+    tx = make_optimizer(params, lr=0.1, max_iters=10,
+                        label_fn=lambda d: ("head" if d.startswith("classifier")
+                                            else "frozen"))
+    st = tx.init(params)
+    upd, _ = tx.update(grads, st, params)
+    flat = jax.tree_util.tree_flatten_with_path(upd)[0]
+    for path, u in flat:
+        dotted = ".".join(str(getattr(k, "key", getattr(k, "name", k)))
+                          for k in path)
+        if dotted.startswith("classifier"):
+            assert float(jnp.abs(u).max()) > 0
+        else:
+            assert float(jnp.abs(u).max()) == 0, dotted
