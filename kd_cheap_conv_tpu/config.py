@@ -18,6 +18,24 @@ use_pallas_separable: bool | None = None
 pallas_min_dilation: int = 2
 
 
+use_gemm_dilated_conv: bool | None = None
+
+# dilation >= this routes dense stride-1 convs through the shifted-matmul
+# (GEMM) formulation instead of lax.conv (ops.conv.conv2d_gemm).
+gemm_conv_min_dilation: int = 2
+
+
+def gemm_dilated_conv_enabled() -> bool:
+    """Default OFF: A/B on the full KD step measured 85.6ms (GEMM) vs 73.7ms
+    (XLA conv) at b16/513² — XLA's dilated conv wins in-context despite
+    looking slow in (unreliable, dispatch-dominated) single-op microbenches.
+    Kept as an opt-in experiment (KDCC_GEMM=1)."""
+    env = os.environ.get("KDCC_GEMM")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return bool(use_gemm_dilated_conv)
+
+
 def pallas_separable_enabled() -> bool:
     env = os.environ.get("KDCC_PALLAS")
     if env is not None:

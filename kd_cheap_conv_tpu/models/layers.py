@@ -57,6 +57,18 @@ class Conv2d(nnx.Module):
         self.dilation = _pair(dilation)
         self.groups = groups
         self.dtype = dtype
+        # static routing decision: dilated stride-1 dense convs go through
+        # the shifted-matmul GEMM path on TPU (ops.conv.conv2d_gemm) —
+        # XLA's dilated conv lowering leaves MXU throughput on the table
+        from .. import config
+
+        self._use_gemm = bool(
+            config.gemm_dilated_conv_enabled()
+            and groups == 1
+            and self.stride == (1, 1)
+            and max(kh, kw) > 1
+            and self.dilation[0] >= config.gemm_conv_min_dilation
+        )
 
     def __call__(self, x):
         w = self.kernel.value
@@ -64,6 +76,11 @@ class Conv2d(nnx.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
+        if self._use_gemm:
+            from ..ops.conv import conv2d_gemm
+
+            return conv2d_gemm(x, w, b, padding=self.padding,
+                               dilation=self.dilation)
         return conv2d(
             x, w, b,
             stride=self.stride,

@@ -108,6 +108,47 @@ def depthwise_conv2d(
     return conv2d(x, w, b, stride=stride, padding=padding, dilation=dilation, groups=c)
 
 
+def conv2d_gemm(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    padding: int | Sequence[int] = 0,
+    dilation: int | Sequence[int] = 1,
+) -> jax.Array:
+    """Stride-1 dense conv as a sum of k² shifted matmuls (MXU path).
+
+    Measured on v5e: XLA's conv_general_dilated runs dilated dense 3x3 convs
+    at 33² (ResNet layer4 rate-2, ASPP rates 6/12/18) at ~14 TF/s while the
+    equivalent GEMM hits ~126 TF/s. This formulation turns each kernel tap
+    into an (N*H*W, Cin) @ (Cin, Cout) matmul — mathematically identical,
+    autodiff works through it natively.
+    """
+    kh, kw, cin, co = w.shape
+    assert x.shape[-1] == cin, "groups != 1 not supported in GEMM path"
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    common = jnp.promote_types(x.dtype, w.dtype)
+    x = x.astype(common)
+    w = w.astype(common)
+    n, h, wdt, _ = x.shape
+    ho = h + 2 * ph - dh * (kh - 1)
+    wo = wdt + 2 * pw - dw * (kw - 1)
+    assert ho > 0 and wo > 0, "negative output size"
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    acc = None
+    for ki in range(kh):
+        for kj in range(kw):
+            tap = xp[:, ki * dh:ki * dh + ho, kj * dw:kj * dw + wo, :]
+            contrib = jnp.dot(tap.reshape(-1, cin), w[ki, kj],
+                              preferred_element_type=jnp.float32)
+            acc = contrib if acc is None else acc + contrib
+    out = acc.reshape(n, ho, wo, co).astype(common)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
 @partial(jax.jit, static_argnames=("kh", "kw", "dilation"))
 def fixed_padding(x: jax.Array, kh: int, kw: int, dilation: int = 1) -> jax.Array:
     """Xception-style explicit 'SAME' padding applied *before* a VALID conv.

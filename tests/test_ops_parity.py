@@ -183,3 +183,33 @@ def test_losses_channel_axis_equivalence():
     np.testing.assert_allclose(
         float(focal_loss(lo, la)),
         float(focal_loss(lo_cm, la, channel_axis=1)), rtol=1e-6)
+
+
+def test_conv2d_gemm_matches_conv2d():
+    from kd_cheap_conv_tpu.ops.conv import conv2d_gemm
+
+    for (ci, co, d) in [(8, 16, 1), (8, 16, 2), (16, 8, 6)]:
+        x = RNG.randn(2, 19, 21, ci).astype(np.float32)
+        w = (RNG.randn(3, 3, ci, co) * 0.1).astype(np.float32)
+        b = RNG.randn(co).astype(np.float32)
+        got = conv2d_gemm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                          padding=d, dilation=d)
+        want = conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                      stride=1, padding=d, dilation=d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_gemm_grad_matches():
+    import jax
+    from kd_cheap_conv_tpu.ops.conv import conv2d_gemm
+
+    x = jnp.asarray(RNG.randn(1, 9, 9, 8).astype(np.float32))
+    w = jnp.asarray((RNG.randn(3, 3, 8, 8) * 0.1).astype(np.float32))
+    g1 = jax.grad(lambda x, w: (conv2d_gemm(x, w, padding=2, dilation=2) ** 2
+                                ).mean(), argnums=(0, 1))(x, w)
+    g2 = jax.grad(lambda x, w: (conv2d(x, w, stride=1, padding=2, dilation=2)
+                                ** 2).mean(), argnums=(0, 1))(x, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
