@@ -21,10 +21,17 @@ from typing import Callable, Iterator
 import jax.numpy as jnp
 from flax import nnx
 
-from ..train.optim import make_optimizer
-from ..train.steps import make_kd_train_step
 from .distill import KDConfig, make_hint_adapters
 from .replace import CheapConvSpec, backbone_stages, replace_cheap_convs
+
+
+def _train_api():
+    # deferred: train.steps itself imports kd.distill — importing it at
+    # module scope would make kd/__init__ <-> train/__init__ circular
+    from ..train.optim import make_optimizer
+    from ..train.steps import make_kd_train_step
+
+    return make_optimizer, make_kd_train_step
 
 
 @dataclasses.dataclass
@@ -71,6 +78,7 @@ def run_progressive(
         replaced_so_far += replaced
         log_fn(f"[progressive] stage {si} {stage}: replaced {len(replaced)} convs")
 
+        make_optimizer, make_kd_train_step = _train_api()
         adapters = (make_hint_adapters(student, teacher, cfg.kd.hint_taps,
                                        input_hw=input_hw)
                     if cfg.kd.hint_taps else None)
@@ -105,6 +113,7 @@ def run_progressive(
 
     # end-to-end fine-tune, everything trainable
     if cfg.finetune_iters > 0:
+        make_optimizer, make_kd_train_step = _train_api()
         adapters = (make_hint_adapters(student, teacher, cfg.kd.hint_taps,
                                        input_hw=input_hw)
                     if cfg.kd.hint_taps else None)
