@@ -72,3 +72,31 @@ def test_cli_tta_eval(tmp_path, capsys):
     import glob
     pngs = glob.glob(os.path.join(out_dir, "*.png"))
     assert len(pngs) >= 4  # image/target/pred/overlay for >=1 sample
+
+
+def test_cli_cached_teacher_mode(tmp_path, capsys):
+    # config #1: student KD step vs cached teacher logits — the cache is
+    # precomputed on first run, then the teacher leaves the hot loop
+    cache = str(tmp_path / "tlogits.npz")
+    args = [
+        "--dataset", "synthetic",
+        "--model", "deeplabv3plus_mobilenet",
+        "--teacher_model", "deeplabv3plus_mobilenet",
+        "--kd", "--cached_logits", cache,
+        "--replace_scope", "classifier",
+        "--num_classes", "6",
+        "--crop_size", "33",
+        "--batch_size", "8",
+        "--val_batch_size", "8",
+        "--total_itrs", "3",
+        "--val_interval", "3",
+        "--print_interval", "1",
+        "--lr", "0.005",
+        "--ckpt_dir", str(tmp_path / "ckpts"),
+        "--num_workers", "2",
+    ]
+    assert cli.main(args) == 0
+    out = capsys.readouterr().out
+    assert "Precomputing teacher logits" in out
+    assert "Itrs 3/3" in out
+    assert os.path.exists(cache)

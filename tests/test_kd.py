@@ -280,3 +280,23 @@ def test_fused_sgd_respects_frozen_group():
             assert float(jnp.abs(u).max()) > 0
         else:
             assert float(jnp.abs(u).max()) == 0, dotted
+
+
+def test_kd_step_xception_teacher_smoke():
+    """Config #3 shape: Xception-65 teacher -> separable student (tiny)."""
+    teacher = build_model("deeplabv3plus_xception", num_classes=6,
+                          rngs=nnx.Rngs(0))
+    student = build_model("deeplabv3plus_mobilenet", num_classes=6,
+                          rngs=nnx.Rngs(1))
+    replace_cheap_convs(student, CheapConvSpec(kind="separable"),
+                        scope="classifier")
+    cfg = KDConfig(temperature=4.0, alpha=0.5, beta=0.5)
+    _, params, _ = nnx.split(student, nnx.Param, ...)
+    tx = make_optimizer({"student": params}, lr=0.005, max_iters=10,
+                        label_fn=lambda d: "head")
+    init, step, t_state = make_kd_train_step(student, teacher, tx, cfg)
+    state = init()
+    images = jnp.asarray(RNG.randn(2, 33, 33, 3), jnp.float32)
+    labels = jnp.asarray(RNG.randint(0, 6, (2, 33, 33)), jnp.int32)
+    state, metrics = step(state, (images, labels), t_state)
+    assert np.isfinite(float(metrics["loss"]))
