@@ -36,6 +36,20 @@ def gemm_dilated_conv_enabled() -> bool:
     return bool(use_gemm_dilated_conv)
 
 
+# Upsample-into-loss fusion (ops.pallas.losses.fused_ce_kl_loss_upsampled):
+# measured SLOWER at 513² b16 (79.5 vs 73.7ms — the per-class 2D matmul
+# unroll beats the saved HBM traffic only at larger resolutions). Opt-in
+# (KDCC_FUSE_UPSAMPLE=1); candidate for config #3 @769².
+fuse_upsample_into_loss: bool | None = None
+
+
+def fuse_upsample_into_loss_enabled() -> bool:
+    env = os.environ.get("KDCC_FUSE_UPSAMPLE")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return bool(fuse_upsample_into_loss)
+
+
 def pallas_separable_enabled() -> bool:
     env = os.environ.get("KDCC_PALLAS")
     if env is not None:

@@ -90,6 +90,55 @@ def _restore(model, training: bool) -> None:
         model.train()
 
 
+def fused_loss_applicable(cfg: KDConfig) -> bool:
+    """True when the Pallas fused CE+KL (and its upsample-fused variant)
+    covers this KD config on the current backend."""
+    import jax
+
+    from .. import config
+
+    return (cfg.loss_type == "cross_entropy"
+            and not cfg.kl_mask_ignored
+            and config.pallas_separable_enabled()
+            and jax.device_count() == 1)
+
+
+def kd_total_loss_small(
+    s_small: jax.Array,
+    t_small: jax.Array,
+    labels: jax.Array,
+    cfg: KDConfig,
+    *,
+    student_taps: dict | None = None,
+    teacher_taps: dict | None = None,
+    adapters: HintAdapters | None = None,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """KD loss from HEAD-RESOLUTION class-major logits (N,C,h,w): the 16x
+    bilinear upsample is fused into the Pallas loss kernel, so full-res
+    logits never materialize in HBM. Labels are full-res (N,H,W).
+    Semantically identical to upsample -> kd_total_loss (pinned by tests)."""
+    from ..ops.pallas.losses import fused_ce_kl_loss_upsampled
+
+    out_h, out_w = labels.shape[1], labels.shape[2]
+    total, l_task, l_kd = fused_ce_kl_loss_upsampled(
+        s_small, t_small, labels, out_h, out_w,
+        cfg.temperature, cfg.alpha, cfg.beta, 255, cfg.teacher_logit_clip,
+        False)
+    l_hint = jnp.zeros((), jnp.float32)
+    if cfg.hint_taps:
+        assert student_taps is not None and teacher_taps is not None
+        for tap in cfg.hint_taps:
+            s = student_taps[tap]
+            t = teacher_taps[tap]
+            if adapters is not None:
+                s = adapters(tap, s)
+            if s.shape[1:3] != t.shape[1:3]:
+                s = resize_bilinear(s, t.shape[1:3])
+            l_hint = l_hint + hint_l2_loss(s, t)
+        total = total + cfg.gamma * l_hint
+    return total, {"task": l_task, "kd": l_kd, "hint": l_hint}
+
+
 def kd_total_loss(
     student_logits: jax.Array,
     teacher_logits: jax.Array,

@@ -74,7 +74,7 @@ class SegmentationModel(nnx.Module):
         self.classifier = classifier
 
     def __call__(self, x, *, return_features: bool = False,
-                 class_major: bool = False):
+                 class_major: bool = False, upsample: bool = True):
         import jax.numpy as jnp
 
         from ..ops.resize import resize_bilinear_nchw
@@ -88,9 +88,13 @@ class SegmentationModel(nnx.Module):
             head_feats = None
         if class_major:
             logits = jnp.transpose(logits, (0, 3, 1, 2))
-            logits = resize_bilinear_nchw(logits, size)
-        else:
+            if upsample:
+                logits = resize_bilinear_nchw(logits, size)
+        elif upsample:
             logits = resize_bilinear(logits, size)
+        # upsample=False returns head-resolution logits — the fused
+        # upsample+loss kernel (ops.pallas.losses) applies the 16x bilinear
+        # itself, so full-res logits never touch HBM.
         if return_features:
             taps = {"low_level": feats["low_level"], "out": feats["out"],
                     **head_feats}

@@ -227,3 +227,276 @@ def _bwd_rule(temperature, alpha, beta, ignore_index, teacher_logit_clip,
 
 
 fused_ce_kl_loss.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Upsample-fused variant: CE+KL over BILINEARLY UPSAMPLED logits without ever
+# materializing the full-res logits. The 16x decoder upsample
+# (BASELINE.json:5 "decoder bilinear upsample") becomes two tiny matmuls per
+# row-tile in VMEM: up = Wr[tile] @ small @ Wc, where Wr (H_out, h) and
+# Wc (w, W_out) are the half-pixel bilinear matrices (torch
+# align_corners=False). HBM traffic drops from ~2x0.9GB full-res logits to
+# the 33² head logits (<1MB) + labels.
+#
+# Backward accumulates ds_small = sum_tiles Wr[tile]^T @ g_tile @ Wc^T using
+# pallas output revisiting over the row-tile grid axis.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense (out, in) half-pixel bilinear interpolation matrix (matches
+    torch F.interpolate(align_corners=False) / jax.image.resize)."""
+    m = np.zeros((out_size, in_size), np.float32)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    pos = (np.arange(out_size, dtype=np.float64) + 0.5) * in_size / out_size - 0.5
+    pos = np.clip(pos, 0.0, in_size - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (pos - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - frac)
+    np.add.at(m, (rows, hi), frac)
+    return m
+
+
+def _up_tiles(s_ref, t_ref, wr_ref, wc_ref, j, th, C, t_clip):
+    """Per-class 2D upsampled tiles (Mosaic rejects 3D dot_general /
+    minor-dim transposes; with C static we unroll to 2D matmuls:
+    up_c = Wr[tile] @ z_c @ Wc)."""
+    wr = wr_ref[pl.ds(j * th, th), :]            # (th, h)
+    wc = wc_ref[...]                             # (w, W)
+    s_list, t_list = [], []
+    for c in range(C):
+        zc = s_ref[0, c].astype(jnp.float32)     # (h, w)
+        tc = t_ref[0, c].astype(jnp.float32)
+        if t_clip:
+            tc = jnp.clip(tc, -t_clip, t_clip)
+        s_list.append(jnp.dot(jnp.dot(wr, zc,
+                                      preferred_element_type=jnp.float32),
+                              wc, preferred_element_type=jnp.float32))
+        t_list.append(jnp.dot(jnp.dot(wr, tc,
+                                      preferred_element_type=jnp.float32),
+                              wc, preferred_element_type=jnp.float32))
+    return s_list, t_list
+
+
+def _softmax_parts(xs, T):
+    """Streaming per-class softmax pieces over a list of (th,W) tiles:
+    returns (probs list at temperature T, logsumexp of x/T)."""
+    xTs = [x / T for x in xs]
+    mx = xTs[0]
+    for x in xTs[1:]:
+        mx = jnp.maximum(mx, x)
+    es = [jnp.exp(x - mx) for x in xTs]
+    tot = es[0]
+    for e in es[1:]:
+        tot = tot + e
+    lse = mx + jnp.log(tot)
+    return [e / tot for e in es], lse
+
+
+def _up_fwd_kernel(s_ref, t_ref, lbl_ref, wr_ref, wc_ref, out_ref, *,
+                   C, T, th, H, ignore_index, t_clip, hin):
+    j = pl.program_id(1)
+    lbl = lbl_ref[0]                             # (th, W)
+    s_list, t_list = _up_tiles(s_ref, t_ref, wr_ref, wc_ref, j, th, C, t_clip)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, lbl.shape, 0) + j * th
+    in_bounds = (row < H)
+    valid = in_bounds & (lbl != ignore_index)
+
+    # CE at T=1
+    _, lse_s1 = _softmax_parts(s_list, 1.0)
+    s_lbl = jnp.zeros_like(lse_s1)
+    for c in range(C):
+        s_lbl = s_lbl + jnp.where(lbl == c, s_list[c], 0.0)
+    nll = lse_s1 - s_lbl
+
+    # softened KL
+    _, lse_sT = _softmax_parts(s_list, T)
+    _, lse_tT = _softmax_parts(t_list, T)
+    kl = jnp.zeros_like(lse_s1)
+    for c in range(C):
+        log_p_t = jnp.maximum(t_list[c] / T - lse_tT, _NEG_CLAMP)
+        log_p_s = s_list[c] / T - lse_sT
+        kl = kl + jnp.exp(log_p_t) * (log_p_t - log_p_s)
+
+    vmask = valid.astype(jnp.float32)
+    bmask = in_bounds.astype(jnp.float32)
+    r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    c0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row0 = (r == 0)
+    tile = (jnp.where(row0 & (c0 == 0), jnp.sum(nll * vmask), 0.0)
+            + jnp.where(row0 & (c0 == 1), jnp.sum(vmask), 0.0)
+            + jnp.where(row0 & (c0 == 2), jnp.sum(kl * bmask), 0.0))
+    out_ref[0, 0] = tile
+
+
+def _up_bwd_kernel(s_ref, t_ref, lbl_ref, wr_ref, wc_ref, scal_ref, ds_ref,
+                   *, C, T, th, H, ignore_index, t_clip, hin):
+    j = pl.program_id(1)
+    lbl = lbl_ref[0]
+    a_scale = scal_ref[0, 1]
+    k_scale = scal_ref[0, 2]
+    wr = wr_ref[pl.ds(j * th, th), :]
+    wc = wc_ref[...]
+    s_list, t_list = _up_tiles(s_ref, t_ref, wr_ref, wc_ref, j, th, C, t_clip)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, lbl.shape, 0) + j * th
+    in_bounds = (row < H).astype(jnp.float32)
+    valid = ((row < H) & (lbl != ignore_index)).astype(jnp.float32)
+
+    p1_list, _ = _softmax_parts(s_list, 1.0)
+    pS_list, _ = _softmax_parts(s_list, T)
+    pT_list, _ = _softmax_parts(t_list, T)
+
+    @pl.when(j == 0)
+    def _():
+        ds_ref[0] = jnp.zeros_like(ds_ref[0])
+
+    for c in range(C):
+        onehot_c = (lbl == c).astype(jnp.float32)
+        g_c = (a_scale * (p1_list[c] - onehot_c) * valid
+               + k_scale * (pS_list[c] - pT_list[c]) * in_bounds)
+        # pull back: ds_c = Wr[tile]^T @ g_c @ Wc^T  -> (h, w)
+        tmp = jnp.dot(wr.T, g_c, preferred_element_type=jnp.float32)  # (h, W)
+        ds_c = jnp.dot(tmp, wc.T, preferred_element_type=jnp.float32)  # (h, w)
+        ds_ref[0, c] += ds_c.astype(ds_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def fused_ce_kl_loss_upsampled(s_small, t_small, labels, out_h: int,
+                               out_w: int, temperature: float = 4.0,
+                               alpha: float = 0.5, beta: float = 0.5,
+                               ignore_index: int = 255,
+                               teacher_logit_clip: float = 3e4,
+                               interpret: bool = False):
+    """CE+KL over bilinearly-upsampled class-major logits, fully fused.
+
+    s_small, t_small: (N, C, h, w) head-resolution logits; labels
+    (N, out_h, out_w) int32. Semantically identical to upsampling to
+    (out_h, out_w) then fused_ce_kl_loss. Returns (total, task, kd).
+    """
+    total, (task, kd), _ = _up_fwd(s_small, t_small, labels, out_h, out_w,
+                                   temperature, alpha, beta, ignore_index,
+                                   teacher_logit_clip, interpret)
+    return total, task, kd
+
+
+def _up_run_fwd(s_small, t_small, labels, out_h, out_w, T, ignore_index,
+                t_clip, interpret):
+    n, c, hin, win = s_small.shape
+    th = _pick_th(out_h)
+    nh = pl.cdiv(out_h, th)
+    wr = jnp.asarray(bilinear_matrix(hin, out_h))       # (H, h)
+    # pad Wr rows so pl.ds(j*th, th) never reads OOB on the last tile
+    pad = nh * th - out_h
+    if pad:
+        wr = jnp.pad(wr, ((0, pad), (0, 0)))
+    wc = jnp.asarray(bilinear_matrix(win, out_w).T)     # (w, W)
+    kern = functools.partial(_up_fwd_kernel, C=c, T=float(T), th=th,
+                             H=out_h, ignore_index=ignore_index,
+                             t_clip=float(t_clip), hin=hin)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, nh, 8, 128), jnp.float32),
+        grid=(n, nh),
+        in_specs=[
+            pl.BlockSpec((1, c, hin, win), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, hin, win), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, out_w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Wr (padded H, h)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Wc (w, W)
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * n * c * out_h * out_w),
+            bytes_accessed=int(2 * s_small.size * s_small.dtype.itemsize
+                               + labels.size * 4),
+            transcendentals=int(3 * n * c * out_h * out_w),
+        ),
+    )(s_small, t_small, labels, wr, wc)
+    return out[:, :, 0, :3].sum(axis=(0, 1)), wr, wc
+
+
+def _up_fwd(s_small, t_small, labels, out_h, out_w, temperature, alpha, beta,
+            ignore_index, teacher_logit_clip, interpret):
+    n = s_small.shape[0]
+    sums, _, _ = _up_run_fwd(s_small, t_small, labels, out_h, out_w,
+                             temperature, ignore_index, teacher_logit_clip,
+                             interpret)
+    denom = jnp.maximum(sums[1], 1.0)
+    npix = float(n * out_h * out_w)
+    task = sums[0] / denom
+    kd = (temperature ** 2) * sums[2] / npix
+    total = alpha * task + beta * kd
+    return total, (task, kd), (s_small, t_small, labels, denom)
+
+
+def _up_fwd_rule(s_small, t_small, labels, out_h, out_w, temperature, alpha,
+                 beta, ignore_index, teacher_logit_clip, interpret):
+    total, (task, kd), res = _up_fwd(s_small, t_small, labels, out_h, out_w,
+                                     temperature, alpha, beta, ignore_index,
+                                     teacher_logit_clip, interpret)
+    return (total, task, kd), res
+
+
+def _up_bwd_rule(out_h, out_w, temperature, alpha, beta, ignore_index,
+                 teacher_logit_clip, interpret, res, cts):
+    s_small, t_small, labels, denom = res
+    g_total, g_task, g_kd = cts
+    n, c, hin, win = s_small.shape
+    npix = float(n * out_h * out_w)
+    th = _pick_th(out_h)
+    nh = pl.cdiv(out_h, th)
+    wr = jnp.asarray(bilinear_matrix(hin, out_h))
+    pad = nh * th - out_h
+    if pad:
+        wr = jnp.pad(wr, ((0, pad), (0, 0)))
+    wc = jnp.asarray(bilinear_matrix(win, out_w).T)
+    a_scale = (g_total * alpha + g_task) / denom
+    k_scale = (g_total * beta + g_kd) * temperature / npix
+    scalars = jnp.stack([jnp.float32(1.0),
+                         a_scale.astype(jnp.float32),
+                         k_scale.astype(jnp.float32)]).reshape(1, 3)
+    kern = functools.partial(_up_bwd_kernel, C=c, T=float(temperature),
+                             th=th, H=out_h, ignore_index=ignore_index,
+                             t_clip=float(teacher_logit_clip), hin=hin)
+    ds = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(s_small.shape, s_small.dtype),
+        grid=(n, nh),
+        in_specs=[
+            pl.BlockSpec((1, c, hin, win), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, hin, win), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, out_w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        # output revisited across j: accumulate tile contributions
+        out_specs=pl.BlockSpec((1, c, hin, win), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * n * c * out_h * out_w),
+            bytes_accessed=int(3 * s_small.size * s_small.dtype.itemsize),
+            transcendentals=int(3 * n * c * out_h * out_w),
+        ),
+    )(s_small, t_small, labels, wr, wc, scalars)
+    return ds, jnp.zeros_like(t_small), None
+
+
+fused_ce_kl_loss_upsampled.defvjp(_up_fwd_rule, _up_bwd_rule)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import optax
 from flax import nnx, struct
 
-from ..kd.distill import KDConfig, kd_total_loss
+from ..kd.distill import (KDConfig, fused_loss_applicable, kd_total_loss,
+                          kd_total_loss_small)
 from ..ops.losses import cross_entropy, focal_loss
 
 
@@ -128,6 +129,12 @@ def make_kd_train_step(
         params0["adapters"] = a_params
 
     need_taps = bool(cfg.hint_taps)
+    # upsample-fused loss: model emits head-resolution logits; the Pallas
+    # kernel applies the 16x bilinear inside VMEM (static decision; opt-in —
+    # measured slower than resize + flat fused loss at 513², see config)
+    from .. import config as _config
+    use_up = (not cached_teacher and fused_loss_applicable(cfg)
+              and _config.fuse_upsample_into_loss_enabled())
 
     def init_state() -> TrainState:
         # Copy buffers: the step donates its state, and a student built by
@@ -151,10 +158,12 @@ def make_kd_train_step(
             t_model = nnx.merge(t_graphdef, teacher_state)
             if need_taps:
                 t_logits, t_taps = t_model(images, return_features=True,
-                                           class_major=True)
+                                           class_major=True,
+                                           upsample=not use_up)
                 t_taps = jax.lax.stop_gradient(t_taps)
             else:
-                t_logits = t_model(images, class_major=True)
+                t_logits = t_model(images, class_major=True,
+                                   upsample=not use_up)
                 t_taps = None
             t_logits = jax.lax.stop_gradient(t_logits)
 
@@ -162,37 +171,32 @@ def make_kd_train_step(
         adp = (nnx.merge(a_graphdef, state.params["adapters"])
                if a_graphdef is not None else None)
 
-        if adp is not None:
-            def loss_fn(s_model, adp):
-                if need_taps:
-                    s_logits, s_taps = s_model(images, return_features=True,
-                                               class_major=True)
-                else:
-                    s_logits, s_taps = s_model(images, class_major=True), None
-                total, aux = kd_total_loss(
+        def _losses(s_model, adp):
+            if need_taps:
+                s_logits, s_taps = s_model(images, return_features=True,
+                                           class_major=True,
+                                           upsample=not use_up)
+            else:
+                s_logits = s_model(images, class_major=True,
+                                   upsample=not use_up)
+                s_taps = None
+            if use_up:
+                return kd_total_loss_small(
                     s_logits, t_logits, labels, cfg,
-                    student_taps=s_taps, teacher_taps=t_taps, adapters=adp,
-                    channel_axis=1)
-                return total, aux
+                    student_taps=s_taps, teacher_taps=t_taps, adapters=adp)
+            return kd_total_loss(
+                s_logits, t_logits, labels, cfg,
+                student_taps=s_taps, teacher_taps=t_taps, adapters=adp,
+                channel_axis=1)
 
+        if adp is not None:
             (loss, aux), grads = nnx.value_and_grad(
-                loss_fn, has_aux=True, argnums=(0, 1))(s_model, adp)
+                lambda m, a: _losses(m, a), has_aux=True,
+                argnums=(0, 1))(s_model, adp)
             grads = {"student": grads[0], "adapters": grads[1]}
         else:
-            def loss_fn(s_model):
-                if need_taps:
-                    s_logits, s_taps = s_model(images, return_features=True,
-                                               class_major=True)
-                else:
-                    s_logits, s_taps = s_model(images, class_major=True), None
-                total, aux = kd_total_loss(
-                    s_logits, t_logits, labels, cfg,
-                    student_taps=s_taps, teacher_taps=t_taps, adapters=None,
-                    channel_axis=1)
-                return total, aux
-
             (loss, aux), grads = nnx.value_and_grad(
-                loss_fn, has_aux=True)(s_model)
+                lambda m: _losses(m, None), has_aux=True)(s_model)
             grads = {"student": grads}
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -71,3 +71,62 @@ def test_fused_loss_extreme_teacher_logits():
     g = jax.grad(lambda s: fused_ce_kl_loss(s, t_huge, lbl, 4.0, 0.5, 0.5,
                                             255, 3e4, True)[0])(s)
     assert bool(jnp.isfinite(g).all())
+
+
+def _data_small(n=2, c=21, h=9, w=9, H=33, W=33):
+    s = jnp.asarray(RNG.randn(n, c, h, w), jnp.float32)
+    t = jnp.asarray(RNG.randn(n, c, h, w) * 3, jnp.float32)
+    lbl = RNG.randint(0, c, (n, H, W)).astype(np.int32)
+    lbl[0, :4, :6] = 255
+    return s, t, jnp.asarray(lbl)
+
+
+def _ref_upsampled(s, t, lbl, H, W, T=4.0, alpha=0.5, beta=0.5):
+    from kd_cheap_conv_tpu.ops.resize import resize_bilinear_nchw
+
+    su = resize_bilinear_nchw(s, (H, W))
+    tu = resize_bilinear_nchw(t, (H, W))
+    task = cross_entropy(su, lbl, channel_axis=1)
+    kd = kd_kl_loss(su, tu, temperature=T, channel_axis=1)
+    return alpha * task + beta * kd, task, kd
+
+
+def test_upsample_fused_matches_resize_then_loss():
+    from kd_cheap_conv_tpu.ops.pallas.losses import fused_ce_kl_loss_upsampled
+
+    s, t, lbl = _data_small()
+    total, task, kd = fused_ce_kl_loss_upsampled(
+        s, t, lbl, 33, 33, 4.0, 0.5, 0.5, 255, 3e4, True)
+    rtotal, rtask, rkd = _ref_upsampled(s, t, lbl, 33, 33)
+    np.testing.assert_allclose(float(task), float(rtask), rtol=1e-4)
+    np.testing.assert_allclose(float(kd), float(rkd), rtol=1e-4)
+    np.testing.assert_allclose(float(total), float(rtotal), rtol=1e-4)
+
+
+def test_upsample_fused_grad_matches():
+    from kd_cheap_conv_tpu.ops.pallas.losses import fused_ce_kl_loss_upsampled
+
+    s, t, lbl = _data_small()
+
+    def f_fused(s):
+        return fused_ce_kl_loss_upsampled(s, t, lbl, 33, 33, 4.0, 0.5, 0.5,
+                                          255, 3e4, True)[0]
+
+    def f_ref(s):
+        return _ref_upsampled(s, t, lbl, 33, 33)[0]
+
+    g1 = jax.grad(f_fused)(s)
+    g2 = jax.grad(f_ref)(s)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_upsample_fused_nondivisible_height():
+    from kd_cheap_conv_tpu.ops.pallas.losses import fused_ce_kl_loss_upsampled
+
+    # H=19 not a multiple of the row tile; also rectangular
+    s, t, lbl = _data_small(h=5, w=7, H=19, W=23)
+    total, task, kd = fused_ce_kl_loss_upsampled(
+        s, t, lbl, 19, 23, 2.0, 0.7, 0.3, 255, 3e4, True)
+    rtotal, _, _ = _ref_upsampled(s, t, lbl, 19, 23, T=2.0, alpha=0.7, beta=0.3)
+    np.testing.assert_allclose(float(total), float(rtotal), rtol=1e-4)
