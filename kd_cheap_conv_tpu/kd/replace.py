@@ -70,8 +70,22 @@ class AtrousSeparableConvolution(nnx.Module):
                 kernel_size=self.depthwise.kernel_size)
         )
 
+    def _fits_vmem(self, x) -> bool:
+        """Shape-dependent VMEM feasibility (call-time; shapes are static
+        under trace). Mosaic's scoped allocation measured ~2.5x the naive
+        buffer estimate (23.5M vs 9.6M at c=2048/w=49/d=6), so gate the
+        estimate at 6MB of the 16MB scoped limit."""
+        _, h, w, c = x.shape
+        p = self.depthwise.dilation[0] * (self.depthwise.kernel_size[0] - 1) // 2
+        th = 4
+        itemsize = 2  # bf16 path; f32 halves the headroom, still safe at 6MB
+        est = (2 * (th + 2 * p) * (w + 2 * p) * c * itemsize
+               + th * w * c * 4
+               + th * w * self.pointwise.out_channels * itemsize)
+        return est <= 6 * 1024 * 1024
+
     def __call__(self, x):
-        if self._fusable:
+        if self._fusable and self._fits_vmem(x):
             from ..ops.pallas import fused_separable_conv
 
             dw = self.depthwise.kernel.value
