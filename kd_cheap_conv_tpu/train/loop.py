@@ -70,19 +70,37 @@ def train_loop(
     teacher_state=None,
     validate_fn: Callable[[TrainState], dict] | None = None,
     log_fn: Callable[[str], None] = print,
+    visualizer=None,
 ) -> tuple[TrainState, float]:
     """Run until cfg.total_itrs. Returns (final_state, best_score).
 
     validate_fn(state) -> metrics dict with 'Mean IoU'; checkpoints written
-    with the reference's latest/best layout at each val interval.
+    with the reference's latest/best layout at each val interval. On SIGTERM
+    a final 'latest' checkpoint is written before exiting (SURVEY.md §5.3 —
+    automated crash/preemption recovery; resume with --ckpt
+    --continue_training).
     """
+    import signal
+
     from .checkpoint import checkpoint_path
 
     best_score = 0.0
     meter = AverageMeter()
     t_last = time.perf_counter()
     cur = int(state.step)
-    while cur < cfg.total_itrs:
+
+    stop = {"sigterm": False}
+    prev_handler = None
+
+    def _on_sigterm(signum, frame):
+        stop["sigterm"] = True
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        prev_handler = None  # not in main thread (tests); skip handler
+
+    while cur < cfg.total_itrs and not stop["sigterm"]:
         try:
             batch = next(train_iter)
         except StopIteration:
@@ -113,6 +131,11 @@ def train_loop(
             parts = ", ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
             log_fn(f"Itrs {cur}/{cfg.total_itrs}: {parts} "
                    f"({n_img / max(step_s, 1e-9):.1f} img/s)")
+            if visualizer is not None:
+                for k, v in metrics.items():
+                    visualizer.add_scalar(f"train/{k}", float(v), cur)
+                visualizer.add_scalar("train/img_per_s",
+                                      n_img / max(step_s, 1e-9), cur)
 
         if cur % cfg.val_interval == 0 or cur >= cfg.total_itrs:
             latest = checkpoint_path(cfg.ckpt_dir, "latest", cfg.model_name,
@@ -123,6 +146,10 @@ def train_loop(
             if validate_fn is not None:
                 results = validate_fn(state)
                 log_fn(StreamSegMetrics.to_str(results))
+                if visualizer is not None:
+                    for k in ("Mean IoU", "Overall Acc", "Mean Acc",
+                              "FreqW Acc"):
+                        visualizer.add_scalar(f"val/{k}", results[k], cur)
                 if cfg.save_best and results["Mean IoU"] > best_score:
                     best_score = results["Mean IoU"]
                     best = checkpoint_path(cfg.ckpt_dir, "best",
@@ -133,4 +160,16 @@ def train_loop(
                                     opt_state=state.opt_state,
                                     best_score=best_score)
             t_last = time.perf_counter()
+
+    if stop["sigterm"]:
+        latest = checkpoint_path(cfg.ckpt_dir, "latest", cfg.model_name,
+                                 cfg.dataset_name, cfg.output_stride)
+        save_checkpoint(latest, cur_itrs=cur, params=state.params,
+                        rest=state.rest, opt_state=state.opt_state,
+                        best_score=best_score)
+        log_fn(f"SIGTERM: checkpoint written at itrs {cur}; exiting")
+    if prev_handler is not None:
+        import signal
+
+        signal.signal(signal.SIGTERM, prev_handler)
     return state, best_score

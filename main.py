@@ -88,6 +88,8 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--vis_dir", type=str, default="runs")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (debug mode, SURVEY.md §5.2)")
     # TTA eval (config #5): multi-scale + flip, batched in one XLA program
     p.add_argument("--tta", action="store_true",
                    help="multi-scale+flip TTA during --test_only")
@@ -148,6 +150,9 @@ def main(argv=None) -> int:
     from kd_cheap_conv_tpu.train import make_kd_train_step, make_optimizer, make_train_step
     from kd_cheap_conv_tpu.train.checkpoint import load_checkpoint
     from kd_cheap_conv_tpu.train.loop import LoopConfig, train_loop, validate
+
+    if opts.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     train_dst, val_dst, num_classes = get_dataset(opts)
     dtype = jnp.bfloat16 if opts.bf16 else None
@@ -373,9 +378,13 @@ def main(argv=None) -> int:
                           dataset_name=opts.dataset,
                           output_stride=opts.output_stride,
                           profile_dir=opts.profile_dir)
+    from kd_cheap_conv_tpu.utils import Visualizer
+    vis = Visualizer(opts.vis_dir, enable=opts.enable_vis)
     state, best = train_loop(state=state, step_fn=step_fn,
                              train_iter=train_iter, cfg=loop_cfg,
-                             teacher_state=t_state, validate_fn=validate_fn)
+                             teacher_state=t_state, validate_fn=validate_fn,
+                             visualizer=vis if opts.enable_vis else None)
+    vis.close()
     print(f"Best Mean IoU: {best:.4f}")
     return 0
 

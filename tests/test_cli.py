@@ -100,3 +100,28 @@ def test_cli_cached_teacher_mode(tmp_path, capsys):
     assert "Precomputing teacher logits" in out
     assert "Itrs 3/3" in out
     assert os.path.exists(cache)
+
+
+def test_cli_enable_vis_writes_scalars(tmp_path, capsys):
+    vis_dir = str(tmp_path / "runs")
+    args = [
+        "--dataset", "synthetic",
+        "--model", "deeplabv3plus_mobilenet",
+        "--num_classes", "6",
+        "--crop_size", "33",
+        "--batch_size", "8",
+        "--val_batch_size", "8",
+        "--total_itrs", "2",
+        "--val_interval", "2",
+        "--print_interval", "1",
+        "--enable_vis", "--vis_dir", vis_dir,
+        "--ckpt_dir", str(tmp_path / "c"),
+        "--num_workers", "2",
+    ]
+    assert cli.main(args) == 0
+    import json as _json
+    scalars = os.path.join(vis_dir, "scalars.jsonl")
+    assert os.path.exists(scalars)
+    tags = {(_json.loads(l))["tag"] for l in open(scalars)}
+    assert any(t.startswith("train/") for t in tags)
+    assert any(t.startswith("val/") for t in tags)
