@@ -25,7 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 from flax import nnx
 
-from ..models.layers import BatchNorm, Conv2d
+from ..models.layers import Conv2d
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,8 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import nnx
 
-from ..ops.resize import resize_bilinear
-from .layers import BatchNorm, Conv2d, ConvBNReLU
+from .layers import ConvBNReLU
 
 
 class ASPPPooling(nnx.Module):

@@ -10,7 +10,7 @@ prefetched device batches; metrics cross to host only at print/val points
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Iterator
 
 import jax

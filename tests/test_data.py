@@ -5,7 +5,6 @@ label remap table, synthetic dataset determinism, loader batching, metrics.
 import numpy as np
 
 from kd_cheap_conv_tpu.data import (
-    ExtCompose,
     ExtNormalize,
     ExtRandomCrop,
     ExtRandomHorizontalFlip,

@@ -2,8 +2,6 @@
 resnet-teacher clone, 2 stages + fine-tune, a couple of iterations each.
 """
 
-import itertools
-
 import numpy as np
 import jax.numpy as jnp
 from flax import nnx
