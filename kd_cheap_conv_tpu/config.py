@@ -50,6 +50,19 @@ def fuse_upsample_into_loss_enabled() -> bool:
     return bool(fuse_upsample_into_loss)
 
 
+# MobileNetV2 stem layout: run the first K feature blocks channel-major
+# (NCHW) so low-channel high-resolution activations (C=16..96 at 257²) don't
+# lane-pad channels to 128 (4-8x HBM traffic). 0 = off. Env: KDCC_STEM_CM=K.
+stem_channel_major: int | None = None
+
+
+def stem_channel_major_until() -> int:
+    env = os.environ.get("KDCC_STEM_CM")
+    if env is not None:
+        return int(env)
+    return int(stem_channel_major or 0)
+
+
 def pallas_separable_enabled() -> bool:
     env = os.environ.get("KDCC_PALLAS")
     if env is not None:

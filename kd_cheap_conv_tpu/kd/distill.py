@@ -79,7 +79,7 @@ def _snapshot_eval(model) -> bool:
     # eval_shape still traces BN; run in eval mode to avoid fake stat updates
     training = any(
         not m.use_running_average
-        for _, m in model.iter_modules() if isinstance(m, nnx.BatchNorm)
+        for _, m in nnx.iter_modules(model) if isinstance(m, nnx.BatchNorm)
     )
     model.eval()
     return training
@@ -90,9 +90,10 @@ def _restore(model, training: bool) -> None:
         model.train()
 
 
-def fused_loss_applicable(cfg: KDConfig) -> bool:
-    """True when the Pallas fused CE+KL (and its upsample-fused variant)
-    covers this KD config on the current backend."""
+def fused_loss_applicable(cfg: KDConfig, mesh=None) -> bool:
+    """True when the Pallas fused CE+KL covers this KD config on the current
+    backend. Multi-device needs a mesh (the kernel runs per-shard under
+    shard_map); the upsample-fused variant stays single-device only."""
     import jax
 
     from .. import config
@@ -100,7 +101,7 @@ def fused_loss_applicable(cfg: KDConfig) -> bool:
     return (cfg.loss_type == "cross_entropy"
             and not cfg.kl_mask_ignored
             and config.pallas_separable_enabled()
-            and jax.device_count() == 1)
+            and (jax.device_count() == 1 or mesh is not None))
 
 
 def kd_total_loss_small(
@@ -149,35 +150,33 @@ def kd_total_loss(
     teacher_taps: dict | None = None,
     adapters: HintAdapters | None = None,
     channel_axis: int = -1,
+    mesh=None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Returns (total_loss, aux dict of unweighted component losses).
 
     channel_axis=1 for the class-major (N,C,H,W) hot path (see
     models.deeplab.SegmentationModel class_major). On TPU that path runs the
     fused single-pass Pallas CE+KL kernel (ops.pallas.losses) — the 513²x21
-    logits cross HBM once instead of ~10x (32ms -> ~2ms fwd measured)."""
-    from .. import config
-
+    logits cross HBM once instead of ~10x (32ms -> ~2ms fwd measured).
+    With a multi-device `mesh` the kernel runs per-shard under shard_map
+    (batch-sharded logits, psum'd partial sums)."""
     import jax
 
-    use_fused = (
-        channel_axis == 1
-        and cfg.loss_type == "cross_entropy"
-        and not cfg.kl_mask_ignored
-        and config.pallas_separable_enabled()
-        # pallas_call has no SPMD partitioning rule under plain jit: on a
-        # multi-device mesh XLA would gather the sharded logits. Fall back
-        # to the (fully partitionable) jnp path there until the kernel is
-        # shard_map-wrapped. Single chip = the bench/serving hot path.
-        and jax.device_count() == 1
-    )
+    use_fused = channel_axis == 1 and fused_loss_applicable(cfg, mesh)
     if use_fused:
-        from ..ops.pallas.losses import fused_ce_kl_loss
+        from ..ops.pallas.losses import (fused_ce_kl_loss,
+                                         fused_ce_kl_loss_sharded)
 
-        total, l_task, l_kd = fused_ce_kl_loss(
-            student_logits, teacher_logits, labels,
-            cfg.temperature, cfg.alpha, cfg.beta,
-            255, cfg.teacher_logit_clip, False)
+        if jax.device_count() > 1:
+            total, l_task, l_kd = fused_ce_kl_loss_sharded(
+                student_logits, teacher_logits, labels, mesh,
+                cfg.temperature, cfg.alpha, cfg.beta,
+                255, cfg.teacher_logit_clip, False)
+        else:
+            total, l_task, l_kd = fused_ce_kl_loss(
+                student_logits, teacher_logits, labels,
+                cfg.temperature, cfg.alpha, cfg.beta,
+                255, cfg.teacher_logit_clip, False)
         l_hint = jnp.zeros((), jnp.float32)
         if cfg.hint_taps:
             assert student_taps is not None and teacher_taps is not None

@@ -55,6 +55,7 @@ def run_progressive(
     stages: list[tuple[str, ...]] | None = None,
     input_hw: tuple[int, int] = (65, 65),
     log_fn: Callable[[str], None] = print,
+    mesh=None,
 ) -> tuple[nnx.Module, list[dict]]:
     """Runs the schedule in place on `student` (typically an nnx.clone of the
     teacher). Returns (student, per-stage history).
@@ -87,17 +88,22 @@ def run_progressive(
         if adapters is not None:
             _, a_params = nnx.split(adapters, nnx.Param)
             opt_params["adapters"] = a_params
+        def _stage_label(d, stage=stage):
+            # exact module-path boundary: 'backbone.features.1' must not
+            # capture features.10-17 (MobileNetV2) or middle.10-15 (Xception)
+            qs = ["student." + p for p in stage] + ["adapters"]
+            on = any(d == q or d.startswith(q + ".") for q in qs)
+            return "head" if on else "frozen"
+
         tx = make_optimizer(
             opt_params,
             lr=cfg.stage_lr, max_iters=cfg.stage_iters,
             weight_decay=cfg.weight_decay,
-            label_fn=lambda d, stage=stage: (
-                "head" if (any(d.startswith("student." + p) for p in stage)
-                           or d.startswith("adapters"))
-                else "frozen"),
+            head_lr_mult=1.0,  # stage trains at cfg.stage_lr exactly
+            label_fn=_stage_label,
         )
         init, step, t_state = make_kd_train_step(
-            student, teacher, tx, cfg.kd, adapters=adapters)
+            student, teacher, tx, cfg.kd, adapters=adapters, mesh=mesh)
         state = init()
         it = batch_iter_factory()
         losses = []
@@ -129,7 +135,7 @@ def run_progressive(
                                 "backbone" if d.startswith("student.backbone")
                                 else "head"))
         init, step, t_state = make_kd_train_step(
-            student, teacher, tx, cfg.kd, adapters=adapters)
+            student, teacher, tx, cfg.kd, adapters=adapters, mesh=mesh)
         state = init()
         it = batch_iter_factory()
         last = jnp.zeros(())

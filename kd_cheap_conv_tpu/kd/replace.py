@@ -6,7 +6,7 @@ This is the fork's core primitive (SURVEY.md §2.2, BASELINE.json:5
 symbol `convert_to_separable_conv(module)` recursively replaces every
 nn.Conv2d with kernel>1 by a depthwise-separable pair).
 
-NNX module surgery is pure-tree editing: walk `model.iter_modules()`, and for
+NNX module surgery is pure-tree editing: walk `nnx.iter_modules(model)`, and for
 every eligible `Conv2d`, assign a replacement module onto its parent. Teacher
 weights for non-replaced parts are inherited by construction (we clone the
 teacher and edit in place). Replaced blocks can be initialized either randomly
@@ -185,7 +185,7 @@ def replace_cheap_convs(
     scopes = (scope,) if isinstance(scope, str) else scope
     replaced = []
     # Materialize the module list first: we mutate while walking.
-    mods = [(path, m) for path, m in model.iter_modules()]
+    mods = [(path, m) for path, m in nnx.iter_modules(model)]
     for path, m in mods:
         if not isinstance(m, Conv2d) or isinstance(m, AtrousSeparableConvolution):
             continue

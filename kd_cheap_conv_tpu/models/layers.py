@@ -37,6 +37,7 @@ class Conv2d(nnx.Module):
         groups: int = 1,
         use_bias: bool = True,
         dtype=None,
+        layout: str = "NHWC",
         rngs: nnx.Rngs,
     ):
         kh, kw = _pair(kernel_size)
@@ -57,6 +58,7 @@ class Conv2d(nnx.Module):
         self.dilation = _pair(dilation)
         self.groups = groups
         self.dtype = dtype
+        self.layout = layout
         # static routing decision: dilated stride-1 dense convs go through
         # the shifted-matmul GEMM path on TPU (ops.conv.conv2d_gemm) —
         # XLA's dilated conv lowering leaves MXU throughput on the table
@@ -87,6 +89,7 @@ class Conv2d(nnx.Module):
             padding=self.padding,
             dilation=self.dilation,
             groups=self.groups,
+            layout=self.layout,
         )
 
 
@@ -103,10 +106,12 @@ class BatchNorm(nnx.BatchNorm):
     """
 
     def __init__(self, num_features: int, *, momentum: float = TORCH_DEFAULT_BN_MOMENTUM,
-                 epsilon: float = 1e-5, dtype=None, rngs: nnx.Rngs):
+                 epsilon: float = 1e-5, dtype=None, axis: int = -1,
+                 rngs: nnx.Rngs):
         super().__init__(
             num_features,
             use_running_average=False,
+            axis=axis,              # 1 for channel-major (NCHW) stages
             momentum=momentum,
             epsilon=epsilon,
             dtype=dtype,            # None -> promote with f32 params = f32
@@ -174,6 +179,6 @@ def set_bn_momentum(module: nnx.Module, torch_momentum: float = 0.01) -> None:
 
     torch momentum m -> flax momentum (1 - m).
     """
-    for _, m in module.iter_modules():
+    for _, m in nnx.iter_modules(module):
         if isinstance(m, nnx.BatchNorm):
             m.momentum = 1.0 - torch_momentum

@@ -26,12 +26,13 @@ def _make_divisible(v, divisor=8, min_value=None):
 
 class ConvBNReLU6(nnx.Module):
     def __init__(self, in_ch, out_ch, kernel_size=3, *, stride=1, dilation=1,
-                 groups=1, dtype=None, rngs: nnx.Rngs):
+                 groups=1, dtype=None, layout="NHWC", rngs: nnx.Rngs):
         pad = (kernel_size - 1) // 2 * dilation
         self.conv = Conv2d(in_ch, out_ch, kernel_size, stride=stride, padding=pad,
                            dilation=dilation, groups=groups, use_bias=False,
-                           dtype=dtype, rngs=rngs)
-        self.bn = BatchNorm(out_ch, dtype=dtype, rngs=rngs)
+                           dtype=dtype, layout=layout, rngs=rngs)
+        self.bn = BatchNorm(out_ch, dtype=dtype,
+                            axis=1 if layout == "NCHW" else -1, rngs=rngs)
 
     def __call__(self, x):
         return nnx.relu6(self.bn(self.conv(x)))
@@ -39,18 +40,21 @@ class ConvBNReLU6(nnx.Module):
 
 class InvertedResidual(nnx.Module):
     def __init__(self, inp, oup, *, stride=1, dilation=1, expand_ratio=6,
-                 dtype=None, rngs: nnx.Rngs):
+                 dtype=None, layout="NHWC", rngs: nnx.Rngs):
         assert stride in (1, 2)
         hidden = int(round(inp * expand_ratio))
         self.use_res_connect = stride == 1 and inp == oup
         layers = []
         if expand_ratio != 1:
-            layers.append(ConvBNReLU6(inp, hidden, 1, dtype=dtype, rngs=rngs))
+            layers.append(ConvBNReLU6(inp, hidden, 1, dtype=dtype,
+                                      layout=layout, rngs=rngs))
         layers.append(ConvBNReLU6(hidden, hidden, 3, stride=stride,
                                   dilation=dilation, groups=hidden,
-                                  dtype=dtype, rngs=rngs))
-        self.pw_linear = Conv2d(hidden, oup, 1, use_bias=False, dtype=dtype, rngs=rngs)
-        self.pw_bn = BatchNorm(oup, dtype=dtype, rngs=rngs)
+                                  dtype=dtype, layout=layout, rngs=rngs))
+        self.pw_linear = Conv2d(hidden, oup, 1, use_bias=False, dtype=dtype,
+                                layout=layout, rngs=rngs)
+        self.pw_bn = BatchNorm(oup, dtype=dtype,
+                               axis=1 if layout == "NCHW" else -1, rngs=rngs)
         self.body = nnx.List(layers)
 
     def __call__(self, x):
@@ -77,9 +81,15 @@ class MobileNetV2(nnx.Module):
     """Returns {'low_level': 24ch stride-4, 'out': 320ch stride-OS}."""
 
     def __init__(self, *, output_stride: int = 16, width_mult: float = 1.0,
-                 dtype=None, rngs: nnx.Rngs):
+                 dtype=None, channel_major_until: int = 0, rngs: nnx.Rngs):
         input_channel = _make_divisible(32 * width_mult)
-        features = [ConvBNReLU6(3, input_channel, 3, stride=2, dtype=dtype, rngs=rngs)]
+        cm = channel_major_until
+
+        def _layout(idx):
+            return "NCHW" if idx < cm else "NHWC"
+
+        features = [ConvBNReLU6(3, input_channel, 3, stride=2, dtype=dtype,
+                                layout=_layout(0), rngs=rngs)]
         current_stride = 2
         dilation = 1
         for t, c, n, s in _INVERTED_RESIDUAL_SETTING:
@@ -96,23 +106,42 @@ class MobileNetV2(nnx.Module):
                     input_channel, output_channel,
                     stride=stride if i == 0 else 1,
                     dilation=previous_dilation if i == 0 else dilation,
-                    expand_ratio=t, dtype=dtype, rngs=rngs,
+                    expand_ratio=t, dtype=dtype,
+                    layout=_layout(len(features)), rngs=rngs,
                 ))
                 input_channel = output_channel
         self.features = nnx.List(features)
         self.low_level_channels = _make_divisible(24 * width_mult)
         self.out_channels = input_channel  # 320
+        self.channel_major_until = cm
 
     def __call__(self, x):
+        import jax.numpy as jnp
+
+        cm = self.channel_major_until
+        if cm > 0:
+            # low-channel high-res stem runs NCHW: W in lanes instead of a
+            # 16/32-wide channel dim lane-padded to 128 (4-8x HBM traffic)
+            x = jnp.transpose(x, (0, 3, 1, 2))
         low_level = None
         for i, m in enumerate(self.features):
+            if i == cm and cm > 0:
+                x = jnp.transpose(x, (0, 2, 3, 1))
             x = m(x)
             if i == 3:  # features[0:4] -> 24ch stride-4 tap
-                low_level = x
+                low_level = (jnp.transpose(x, (0, 2, 3, 1)) if i < cm else x)
+        if cm > len(self.features) - 1:
+            x = jnp.transpose(x, (0, 2, 3, 1))
         return {"low_level": low_level, "out": x}
 
 
 def mobilenet_v2(*, output_stride=16, width_mult=1.0, dtype=None,
+                 channel_major_until: int | None = None,
                  rngs: nnx.Rngs) -> MobileNetV2:
+    if channel_major_until is None:
+        from .. import config
+
+        channel_major_until = config.stem_channel_major_until()
     return MobileNetV2(output_stride=output_stride, width_mult=width_mult,
-                       dtype=dtype, rngs=rngs)
+                       dtype=dtype, channel_major_until=channel_major_until,
+                       rngs=rngs)

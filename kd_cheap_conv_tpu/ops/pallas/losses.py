@@ -182,25 +182,15 @@ def _fwd_rule(s, t, labels, temperature, alpha, beta, ignore_index,
     return (total, task, kd), res
 
 
-def _bwd_rule(temperature, alpha, beta, ignore_index, teacher_logit_clip,
-              interpret, res, cts):
-    s, t, labels, denom = res
-    g_total, g_task, g_kd = cts
-    # fold the aux outputs' cotangents into the same linear combination
+def _run_bwd(s, t, labels, scalars, temperature, ignore_index,
+             teacher_logit_clip, interpret):
     n, c, h, w = s.shape
-    npix = float(n * h * w)
     th = _pick_th(h)
     nh = pl.cdiv(h, th)
-    # effective scale for task grad: (g_total*alpha + g_task)/denom etc.
-    a_scale = (g_total * alpha + g_task) / denom
-    k_scale = (g_total * beta + g_kd) * temperature / npix
-    scalars = jnp.stack([jnp.float32(1.0),
-                         a_scale.astype(jnp.float32),
-                         k_scale.astype(jnp.float32)]).reshape(1, 3)
     kern = functools.partial(_bwd_kernel, C=c, T=float(temperature), th=th,
                              H=h, ignore_index=ignore_index,
                              t_clip=float(teacher_logit_clip))
-    ds = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(s.shape, s.dtype),
         grid=(n, nh),
@@ -222,6 +212,26 @@ def _bwd_rule(temperature, alpha, beta, ignore_index, teacher_logit_clip,
             transcendentals=int(3 * n * c * h * w),
         ),
     )(s, t, labels, scalars)
+
+
+def _grad_scales(cts, denom, alpha, beta, temperature, npix):
+    """Fold the aux outputs' cotangents into per-term grad scales."""
+    g_total, g_task, g_kd = cts
+    a_scale = (g_total * alpha + g_task) / denom
+    k_scale = (g_total * beta + g_kd) * temperature / npix
+    return jnp.stack([jnp.float32(1.0),
+                      a_scale.astype(jnp.float32),
+                      k_scale.astype(jnp.float32)]).reshape(1, 3)
+
+
+def _bwd_rule(temperature, alpha, beta, ignore_index, teacher_logit_clip,
+              interpret, res, cts):
+    s, t, labels, denom = res
+    n, c, h, w = s.shape
+    scalars = _grad_scales(cts, denom, alpha, beta, temperature,
+                           float(n * h * w))
+    ds = _run_bwd(s, t, labels, scalars, temperature, ignore_index,
+                  teacher_logit_clip, interpret)
     dt = jnp.zeros_like(t)  # teacher side is stop-gradient by construction
     return ds, dt, None
 
@@ -230,16 +240,107 @@ fused_ce_kl_loss.defvjp(_fwd_rule, _bwd_rule)
 
 
 # ---------------------------------------------------------------------------
+# SPMD variant: the same kernels wrapped in shard_map over a 1-D data mesh.
+# pallas_call has no GSPMD partitioning rule, so under plain jit on a mesh
+# XLA would all-gather the batch-sharded logits before the kernel; shard_map
+# runs the kernel per-shard and psums the three partial sums (forward) —
+# the backward is embarrassingly parallel given the global denominators
+# (SURVEY.md §2.5 "fused into the single jitted train step ... ICI
+# collectives").
+# ---------------------------------------------------------------------------
+
+
+def _shmap(fn, mesh, in_specs, out_specs):
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(fn, mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def fused_ce_kl_loss_sharded(s, t, labels, mesh, temperature: float = 4.0,
+                             alpha: float = 0.5, beta: float = 0.5,
+                             ignore_index: int = 255,
+                             teacher_logit_clip: float = 3e4,
+                             interpret: bool = False):
+    """fused_ce_kl_loss over batch-sharded (N,C,H,W) logits on `mesh`
+    (1-D data mesh). Same semantics/returns as the single-chip version."""
+    total, (task, kd), _ = _sh_fwd(s, t, labels, mesh, temperature, alpha,
+                                   beta, ignore_index, teacher_logit_clip,
+                                   interpret)
+    return total, task, kd
+
+
+def _sh_fwd(s, t, labels, mesh, temperature, alpha, beta, ignore_index,
+            teacher_logit_clip, interpret):
+    from jax.sharding import PartitionSpec as P
+
+    n, c, h, w = s.shape
+    axis = mesh.axis_names[0]
+
+    def local(s, t, lbl):
+        sums = _run_fwd(s, t, lbl, temperature, ignore_index,
+                        teacher_logit_clip, interpret)
+        return jax.lax.psum(sums, axis)
+
+    sums = _shmap(local, mesh, (P(axis), P(axis), P(axis)), P())(s, t, labels)
+    denom = jnp.maximum(sums[1], 1.0)
+    npix = float(n * h * w)  # global
+    task = sums[0] / denom
+    kd = (temperature ** 2) * sums[2] / npix
+    total = alpha * task + beta * kd
+    return total, (task, kd), (s, t, labels, denom)
+
+
+def _sh_fwd_rule(s, t, labels, mesh, temperature, alpha, beta, ignore_index,
+                 teacher_logit_clip, interpret):
+    total, (task, kd), res = _sh_fwd(s, t, labels, mesh, temperature, alpha,
+                                     beta, ignore_index, teacher_logit_clip,
+                                     interpret)
+    return (total, task, kd), res
+
+
+def _sh_bwd_rule(mesh, temperature, alpha, beta, ignore_index,
+                 teacher_logit_clip, interpret, res, cts):
+    from jax.sharding import PartitionSpec as P
+
+    s, t, labels, denom = res
+    n, c, h, w = s.shape
+    axis = mesh.axis_names[0]
+    scalars = _grad_scales(cts, denom, alpha, beta, temperature,
+                           float(n * h * w))
+
+    def local(s, t, lbl, scal):
+        return _run_bwd(s, t, lbl, scal, temperature, ignore_index,
+                        teacher_logit_clip, interpret)
+
+    ds = _shmap(local, mesh, (P(axis), P(axis), P(axis), P()),
+                P(axis))(s, t, labels, scalars)
+    return ds, jnp.zeros_like(t), None
+
+
+fused_ce_kl_loss_sharded.defvjp(_sh_fwd_rule, _sh_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # Upsample-fused variant: CE+KL over BILINEARLY UPSAMPLED logits without ever
-# materializing the full-res logits. The 16x decoder upsample
-# (BASELINE.json:5 "decoder bilinear upsample") becomes two tiny matmuls per
-# row-tile in VMEM: up = Wr[tile] @ small @ Wc, where Wr (H_out, h) and
-# Wc (w, W_out) are the half-pixel bilinear matrices (torch
-# align_corners=False). HBM traffic drops from ~2x0.9GB full-res logits to
-# the 33² head logits (<1MB) + labels.
+# materializing the full-res logits (BASELINE.json:5 "decoder bilinear
+# upsample"). v2 design (round 2 — v1 unrolled C per-class 2D matmuls and
+# lost to the saved HBM traffic at 513²):
 #
-# Backward accumulates ds_small = sum_tiles Wr[tile]^T @ g_tile @ Wc^T using
-# pallas output revisiting over the row-tile grid axis.
+#   * the row upsample for ALL classes is ONE block-diagonal matmul
+#     BD_j (C·th, C·nw) @ X (C·nw, w), where nw is the static input-row
+#     window a th-row output tile depends on (~th/scale + 2);
+#   * the column upsample is one (C·th, w) @ Wc (w, W) matmul;
+#   * input windows are pre-gathered XLA-side into (N, nh, C, nw, w) with
+#     STATIC starts (the bilinear map is shape-only), so plain blocked
+#     BlockSpecs drive the kernel — no manual DMA;
+#   * backward emits per-tile window grads (no overlap hazard) that XLA
+#     scatter-adds back with static dynamic_update_slices.
+#
+# beta == 0 statically skips every teacher/KL term — the same kernel then
+# serves the PLAIN supervised CE path, whose jnp gather-CE costs ~59ms/step
+# at b16/513² (profiled round 2).
 # ---------------------------------------------------------------------------
 
 import numpy as np
@@ -263,109 +364,157 @@ def bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
-def _up_tiles(s_ref, t_ref, wr_ref, wc_ref, j, th, C, t_clip):
-    """Per-class 2D upsampled tiles (Mosaic rejects 3D dot_general /
-    minor-dim transposes; with C static we unroll to 2D matmuls:
-    up_c = Wr[tile] @ z_c @ Wc)."""
-    wr = wr_ref[pl.ds(j * th, th), :]            # (th, h)
-    wc = wc_ref[...]                             # (w, W)
-    s_list, t_list = [], []
-    for c in range(C):
-        zc = s_ref[0, c].astype(jnp.float32)     # (h, w)
-        tc = t_ref[0, c].astype(jnp.float32)
-        if t_clip:
-            tc = jnp.clip(tc, -t_clip, t_clip)
-        s_list.append(jnp.dot(jnp.dot(wr, zc,
-                                      preferred_element_type=jnp.float32),
-                              wc, preferred_element_type=jnp.float32))
-        t_list.append(jnp.dot(jnp.dot(wr, tc,
-                                      preferred_element_type=jnp.float32),
-                              wc, preferred_element_type=jnp.float32))
-    return s_list, t_list
+def _window_tables(hin: int, out_h: int, th: int, C: int):
+    """Static row-window tables for th-row output tiles of a bilinear
+    (hin -> out_h) upsample: each tile j reads input rows
+    [starts[j], starts[j]+nw) and applies the block-diagonal matrix
+    BD[j] (C*th, C*nw) to upsample ALL classes in one matmul."""
+    m = bilinear_matrix(hin, out_h)  # (H, hin)
+    nh = -(-out_h // th)
+    pad = nh * th - out_h
+    if pad:
+        m = np.concatenate([m, np.zeros((pad, hin), np.float32)], 0)
+    starts, spans = [], []
+    for j in range(nh):
+        rows = m[j * th:(j + 1) * th]
+        nz = np.nonzero(rows.any(axis=0))[0]
+        lo = int(nz[0]) if nz.size else 0
+        hi = int(nz[-1]) if nz.size else 0
+        starts.append(lo)
+        spans.append(hi - lo + 1)
+    nw = min(max(spans), hin)
+    starts = [min(s, hin - nw) for s in starts]
+    bd = np.zeros((nh, C * th, C * nw), np.float32)
+    for j in range(nh):
+        blk = m[j * th:(j + 1) * th, starts[j]:starts[j] + nw]
+        for c in range(C):
+            bd[j, c * th:(c + 1) * th, c * nw:(c + 1) * nw] = blk
+    return starts, nw, bd
 
 
-def _softmax_parts(xs, T):
-    """Streaming per-class softmax pieces over a list of (th,W) tiles:
-    returns (probs list at temperature T, logsumexp of x/T)."""
-    xTs = [x / T for x in xs]
-    mx = xTs[0]
-    for x in xTs[1:]:
-        mx = jnp.maximum(mx, x)
-    es = [jnp.exp(x - mx) for x in xTs]
-    tot = es[0]
-    for e in es[1:]:
-        tot = tot + e
-    lse = mx + jnp.log(tot)
-    return [e / tot for e in es], lse
+def _gather_windows(x, starts: list[int], nw: int):
+    """(N, C, h, w) -> (N, nh, C, nw, w) with STATIC row starts."""
+    return jnp.stack([jax.lax.slice_in_dim(x, s, s + nw, axis=2)
+                      for s in starts], axis=1)
 
 
-def _up_fwd_kernel(s_ref, t_ref, lbl_ref, wr_ref, wc_ref, out_ref, *,
-                   C, T, th, H, ignore_index, t_clip, hin):
-    j = pl.program_id(1)
-    lbl = lbl_ref[0]                             # (th, W)
-    s_list, t_list = _up_tiles(s_ref, t_ref, wr_ref, wc_ref, j, th, C, t_clip)
+def _up2_tile(ref, bd, wc, C, nw, clip):
+    """Upsampled class-major tile: BD @ (X @ Wc) -> (C, th, W) f32."""
+    x = ref[0, 0].astype(jnp.float32)            # (C, nw, w)
+    if clip:
+        x = jnp.clip(x, -clip, clip)
+    xs = x.reshape(C * nw, x.shape[-1])          # contiguous major merge
+    up = jnp.dot(bd, jnp.dot(xs, wc, preferred_element_type=jnp.float32),
+                 preferred_element_type=jnp.float32)   # (C*th, W)
+    th = bd.shape[0] // C
+    return up.reshape(C, th, up.shape[-1])       # contiguous major split
 
+
+def _celk_fwd_tile(s3, t3, lbl, j, th, H, T, ignore_index):
+    """Shared CE(+KL) partial-sum tile from class-major (C, th, W) logits.
+    t3 None -> CE only (kl partial = 0)."""
     row = jax.lax.broadcasted_iota(jnp.int32, lbl.shape, 0) + j * th
     in_bounds = (row < H)
     valid = in_bounds & (lbl != ignore_index)
 
-    # CE at T=1
-    _, lse_s1 = _softmax_parts(s_list, 1.0)
-    s_lbl = jnp.zeros_like(lse_s1)
-    for c in range(C):
-        s_lbl = s_lbl + jnp.where(lbl == c, s_list[c], 0.0)
-    nll = lse_s1 - s_lbl
+    max_s = jnp.max(s3, axis=0)
+    lse_s = max_s + jnp.log(jnp.sum(jnp.exp(s3 - max_s), axis=0))
+    cls = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 0)
+    onehot = (cls == lbl[None]).astype(jnp.float32)
+    nll = lse_s - jnp.sum(s3 * onehot, axis=0)
 
-    # softened KL
-    _, lse_sT = _softmax_parts(s_list, T)
-    _, lse_tT = _softmax_parts(t_list, T)
-    kl = jnp.zeros_like(lse_s1)
-    for c in range(C):
-        log_p_t = jnp.maximum(t_list[c] / T - lse_tT, _NEG_CLAMP)
-        log_p_s = s_list[c] / T - lse_sT
-        kl = kl + jnp.exp(log_p_t) * (log_p_t - log_p_s)
+    if t3 is not None:
+        sT = s3 / T
+        tT = t3 / T
+        max_sT = jnp.max(sT, axis=0)
+        lse_sT = max_sT + jnp.log(jnp.sum(jnp.exp(sT - max_sT), axis=0))
+        max_tT = jnp.max(tT, axis=0)
+        lse_tT = max_tT + jnp.log(jnp.sum(jnp.exp(tT - max_tT), axis=0))
+        log_p_t = jnp.maximum(tT - lse_tT[None], _NEG_CLAMP)
+        log_p_s = sT - lse_sT[None]
+        kl = jnp.sum(jnp.exp(log_p_t) * (log_p_t - log_p_s), axis=0)
+    else:
+        kl = jnp.zeros_like(nll)
 
     vmask = valid.astype(jnp.float32)
     bmask = in_bounds.astype(jnp.float32)
     r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     c0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     row0 = (r == 0)
-    tile = (jnp.where(row0 & (c0 == 0), jnp.sum(nll * vmask), 0.0)
+    return (jnp.where(row0 & (c0 == 0), jnp.sum(nll * vmask), 0.0)
             + jnp.where(row0 & (c0 == 1), jnp.sum(vmask), 0.0)
             + jnp.where(row0 & (c0 == 2), jnp.sum(kl * bmask), 0.0))
-    out_ref[0, 0] = tile
 
 
-def _up_bwd_kernel(s_ref, t_ref, lbl_ref, wr_ref, wc_ref, scal_ref, ds_ref,
-                   *, C, T, th, H, ignore_index, t_clip, hin):
-    j = pl.program_id(1)
-    lbl = lbl_ref[0]
-    a_scale = scal_ref[0, 1]
-    k_scale = scal_ref[0, 2]
-    wr = wr_ref[pl.ds(j * th, th), :]
-    wc = wc_ref[...]
-    s_list, t_list = _up_tiles(s_ref, t_ref, wr_ref, wc_ref, j, th, C, t_clip)
-
+def _celk_grad_tile(s3, t3, lbl, j, th, H, T, ignore_index, a_scale, k_scale):
+    """Shared d(total)/d(s3) for class-major (C, th, W) logits."""
     row = jax.lax.broadcasted_iota(jnp.int32, lbl.shape, 0) + j * th
     in_bounds = (row < H).astype(jnp.float32)
     valid = ((row < H) & (lbl != ignore_index)).astype(jnp.float32)
 
-    p1_list, _ = _softmax_parts(s_list, 1.0)
-    pS_list, _ = _softmax_parts(s_list, T)
-    pT_list, _ = _softmax_parts(t_list, T)
+    max_s = jnp.max(s3, axis=0)
+    e1 = jnp.exp(s3 - max_s[None])
+    p1 = e1 / jnp.sum(e1, axis=0)[None]
+    cls = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 0)
+    onehot = (cls == lbl[None]).astype(jnp.float32)
+    g = a_scale * (p1 - onehot) * valid[None]
+    if t3 is not None:
+        sT = s3 / T
+        tT = t3 / T
+        eS = jnp.exp(sT - jnp.max(sT, axis=0)[None])
+        pS = eS / jnp.sum(eS, axis=0)[None]
+        eT = jnp.exp(tT - jnp.max(tT, axis=0)[None])
+        pT = eT / jnp.sum(eT, axis=0)[None]
+        g = g + k_scale * (pS - pT) * in_bounds[None]
+    return g
 
-    @pl.when(j == 0)
-    def _():
-        ds_ref[0] = jnp.zeros_like(ds_ref[0])
 
-    for c in range(C):
-        onehot_c = (lbl == c).astype(jnp.float32)
-        g_c = (a_scale * (p1_list[c] - onehot_c) * valid
-               + k_scale * (pS_list[c] - pT_list[c]) * in_bounds)
-        # pull back: ds_c = Wr[tile]^T @ g_c @ Wc^T  -> (h, w)
-        tmp = jnp.dot(wr.T, g_c, preferred_element_type=jnp.float32)  # (h, W)
-        ds_c = jnp.dot(tmp, wc.T, preferred_element_type=jnp.float32)  # (h, w)
-        ds_ref[0, c] += ds_c.astype(ds_ref.dtype)
+def _up2_fwd_kernel_kl(s_ref, t_ref, lbl_ref, bd_ref, wc_ref, out_ref, *,
+                       C, T, th, nw, H, ignore_index, t_clip):
+    j = pl.program_id(1)
+    bd = bd_ref[0]
+    wc = wc_ref[...]
+    s3 = _up2_tile(s_ref, bd, wc, C, nw, 0.0)
+    t3 = _up2_tile(t_ref, bd, wc, C, nw, t_clip)
+    out_ref[0, 0] = _celk_fwd_tile(s3, t3, lbl_ref[0], j, th, H, T,
+                                   ignore_index)
+
+
+def _up2_fwd_kernel_ce(s_ref, lbl_ref, bd_ref, wc_ref, out_ref, *,
+                       C, T, th, nw, H, ignore_index, t_clip):
+    j = pl.program_id(1)
+    s3 = _up2_tile(s_ref, bd_ref[0], wc_ref[...], C, nw, 0.0)
+    out_ref[0, 0] = _celk_fwd_tile(s3, None, lbl_ref[0], j, th, H, T,
+                                   ignore_index)
+
+
+def _up2_bwd_kernel_kl(s_ref, t_ref, lbl_ref, bd_ref, bdt_ref, wc_ref,
+                       wct_ref, scal_ref, dwin_ref, *, C, T, th, nw, H,
+                       ignore_index, t_clip):
+    j = pl.program_id(1)
+    bd = bd_ref[0]
+    wc = wc_ref[...]
+    s3 = _up2_tile(s_ref, bd, wc, C, nw, 0.0)
+    t3 = _up2_tile(t_ref, bd, wc, C, nw, t_clip)
+    g = _celk_grad_tile(s3, t3, lbl_ref[0], j, th, H, T, ignore_index,
+                        scal_ref[0, 1], scal_ref[0, 2])
+    g2 = g.reshape(C * th, g.shape[-1])
+    dxs = jnp.dot(bdt_ref[0], g2, preferred_element_type=jnp.float32)
+    dwin = jnp.dot(dxs, wct_ref[...], preferred_element_type=jnp.float32)
+    dwin_ref[0, 0] = dwin.reshape(C, nw, dwin.shape[-1])
+
+
+def _up2_bwd_kernel_ce(s_ref, lbl_ref, bd_ref, bdt_ref, wc_ref, wct_ref,
+                       scal_ref, dwin_ref, *, C, T, th, nw, H,
+                       ignore_index, t_clip):
+    j = pl.program_id(1)
+    s3 = _up2_tile(s_ref, bd_ref[0], wc_ref[...], C, nw, 0.0)
+    g = _celk_grad_tile(s3, None, lbl_ref[0], j, th, H, T, ignore_index,
+                        scal_ref[0, 1], scal_ref[0, 2])
+    g2 = g.reshape(C * th, g.shape[-1])
+    dxs = jnp.dot(bdt_ref[0], g2, preferred_element_type=jnp.float32)
+    dwin = jnp.dot(dxs, wct_ref[...], preferred_element_type=jnp.float32)
+    dwin_ref[0, 0] = dwin.reshape(C, nw, dwin.shape[-1])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
@@ -387,53 +536,68 @@ def fused_ce_kl_loss_upsampled(s_small, t_small, labels, out_h: int,
     return total, task, kd
 
 
-def _up_run_fwd(s_small, t_small, labels, out_h, out_w, T, ignore_index,
-                t_clip, interpret):
+def _up2_prep(s_small, out_h, out_w):
+    """Static tables + gather specs shared by fwd/bwd."""
     n, c, hin, win = s_small.shape
     th = _pick_th(out_h)
     nh = pl.cdiv(out_h, th)
-    wr = jnp.asarray(bilinear_matrix(hin, out_h))       # (H, h)
-    # pad Wr rows so pl.ds(j*th, th) never reads OOB on the last tile
-    pad = nh * th - out_h
-    if pad:
-        wr = jnp.pad(wr, ((0, pad), (0, 0)))
+    starts, nw, bd = _window_tables(hin, out_h, th, c)
     wc = jnp.asarray(bilinear_matrix(win, out_w).T)     # (w, W)
-    kern = functools.partial(_up_fwd_kernel, C=c, T=float(T), th=th,
-                             H=out_h, ignore_index=ignore_index,
-                             t_clip=float(t_clip), hin=hin)
+    return n, c, hin, win, th, nh, starts, nw, jnp.asarray(bd), wc
+
+
+def _up_run_fwd(s_small, t_small, labels, out_h, out_w, T, ignore_index,
+                t_clip, interpret):
+    n, c, hin, win, th, nh, starts, nw, bd, wc = _up2_prep(
+        s_small, out_h, out_w)
+    s_win = _gather_windows(s_small, starts, nw)
+    with_kl = t_small is not None
+    win_spec = pl.BlockSpec((1, 1, c, nw, win), lambda i, j: (i, j, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [win_spec]
+    operands = [s_win]
+    if with_kl:
+        in_specs.append(win_spec)
+        operands.append(_gather_windows(t_small, starts, nw))
+    in_specs += [
+        pl.BlockSpec((1, th, out_w), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c * th, c * nw), lambda i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # Wc (w, W)
+    ]
+    operands += [labels, bd, wc]
+    kern = functools.partial(
+        _up2_fwd_kernel_kl if with_kl else _up2_fwd_kernel_ce,
+        C=c, T=float(T), th=th, nw=nw, H=out_h,
+        ignore_index=ignore_index, t_clip=float(t_clip))
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, nh, 8, 128), jnp.float32),
         grid=(n, nh),
-        in_specs=[
-            pl.BlockSpec((1, c, hin, win), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, hin, win), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, out_w), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # Wr (padded H, h)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # Wc (w, W)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(4 * n * c * out_h * out_w),
-            bytes_accessed=int(2 * s_small.size * s_small.dtype.itemsize
-                               + labels.size * 4),
+            flops=int(2 * n * nh * (c * th) * (c * nw + out_w)
+                      + 10 * n * c * out_h * out_w),
+            bytes_accessed=int((2 if with_kl else 1)
+                               * n * nh * c * nw * win
+                               * s_small.dtype.itemsize + labels.size * 4),
             transcendentals=int(3 * n * c * out_h * out_w),
         ),
-    )(s_small, t_small, labels, wr, wc)
-    return out[:, :, 0, :3].sum(axis=(0, 1)), wr, wc
+    )(*operands)
+    return out[:, :, 0, :3].sum(axis=(0, 1))
 
 
 def _up_fwd(s_small, t_small, labels, out_h, out_w, temperature, alpha, beta,
             ignore_index, teacher_logit_clip, interpret):
     n = s_small.shape[0]
-    sums, _, _ = _up_run_fwd(s_small, t_small, labels, out_h, out_w,
-                             temperature, ignore_index, teacher_logit_clip,
-                             interpret)
+    with_kl = beta != 0.0
+    sums = _up_run_fwd(s_small, t_small if with_kl else None, labels,
+                       out_h, out_w, temperature, ignore_index,
+                       teacher_logit_clip, interpret)
     denom = jnp.maximum(sums[1], 1.0)
     npix = float(n * out_h * out_w)
     task = sums[0] / denom
@@ -453,50 +617,76 @@ def _up_fwd_rule(s_small, t_small, labels, out_h, out_w, temperature, alpha,
 def _up_bwd_rule(out_h, out_w, temperature, alpha, beta, ignore_index,
                  teacher_logit_clip, interpret, res, cts):
     s_small, t_small, labels, denom = res
-    g_total, g_task, g_kd = cts
-    n, c, hin, win = s_small.shape
-    npix = float(n * out_h * out_w)
-    th = _pick_th(out_h)
-    nh = pl.cdiv(out_h, th)
-    wr = jnp.asarray(bilinear_matrix(hin, out_h))
-    pad = nh * th - out_h
-    if pad:
-        wr = jnp.pad(wr, ((0, pad), (0, 0)))
-    wc = jnp.asarray(bilinear_matrix(win, out_w).T)
-    a_scale = (g_total * alpha + g_task) / denom
-    k_scale = (g_total * beta + g_kd) * temperature / npix
-    scalars = jnp.stack([jnp.float32(1.0),
-                         a_scale.astype(jnp.float32),
-                         k_scale.astype(jnp.float32)]).reshape(1, 3)
-    kern = functools.partial(_up_bwd_kernel, C=c, T=float(temperature),
-                             th=th, H=out_h, ignore_index=ignore_index,
-                             t_clip=float(teacher_logit_clip), hin=hin)
-    ds = pl.pallas_call(
+    n, c, hin, win, th, nh, starts, nw, bd, wc = _up2_prep(
+        s_small, out_h, out_w)
+    with_kl = beta != 0.0
+    scalars = _grad_scales(cts, denom, alpha, beta, temperature,
+                           float(n * out_h * out_w))
+    bdt = jnp.asarray(np.transpose(np.asarray(bd), (0, 2, 1)))
+    wct = jnp.asarray(np.asarray(wc).T)
+
+    win_spec = pl.BlockSpec((1, 1, c, nw, win), lambda i, j: (i, j, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [win_spec]
+    operands = [_gather_windows(s_small, starts, nw)]
+    if with_kl:
+        in_specs.append(win_spec)
+        operands.append(_gather_windows(t_small, starts, nw))
+    in_specs += [
+        pl.BlockSpec((1, th, out_w), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c * th, c * nw), lambda i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c * nw, c * th), lambda i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # Wc
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # Wc^T
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    operands += [labels, bd, bdt, wc, wct, scalars]
+    kern = functools.partial(
+        _up2_bwd_kernel_kl if with_kl else _up2_bwd_kernel_ce,
+        C=c, T=float(temperature), th=th, nw=nw, H=out_h,
+        ignore_index=ignore_index, t_clip=float(teacher_logit_clip))
+    dwin = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct(s_small.shape, s_small.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, nh, c, nw, win), jnp.float32),
         grid=(n, nh),
-        in_specs=[
-            pl.BlockSpec((1, c, hin, win), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, hin, win), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, out_w), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        # output revisited across j: accumulate tile contributions
-        out_specs=pl.BlockSpec((1, c, hin, win), lambda i, j: (i, 0, 0, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, c, nw, win),
+                               lambda i, j: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(6 * n * c * out_h * out_w),
-            bytes_accessed=int(3 * s_small.size * s_small.dtype.itemsize),
+            flops=int(4 * n * nh * (c * th) * (c * nw + out_w)
+                      + 12 * n * c * out_h * out_w),
+            bytes_accessed=int((3 if with_kl else 2)
+                               * n * nh * c * nw * win * 4),
             transcendentals=int(3 * n * c * out_h * out_w),
         ),
-    )(s_small, t_small, labels, wr, wc, scalars)
+    )(*operands)
+    # scatter-add the (overlapping) window grads back — static starts, so
+    # this unrolls to nh in-place dynamic_update_slices under jit
+    ds = jnp.zeros((n, c, hin, win), jnp.float32)
+    for j, s0 in enumerate(starts):
+        cur = jax.lax.dynamic_slice_in_dim(ds, s0, nw, axis=2)
+        ds = jax.lax.dynamic_update_slice_in_dim(ds, cur + dwin[:, j], s0,
+                                                 axis=2)
+    ds = ds.astype(s_small.dtype)
     return ds, jnp.zeros_like(t_small), None
 
 
 fused_ce_kl_loss_upsampled.defvjp(_up_fwd_rule, _up_bwd_rule)
+
+
+def fused_ce_loss_upsampled(s_small, labels, out_h: int, out_w: int,
+                            ignore_index: int = 255,
+                            interpret: bool = False):
+    """Plain supervised CE over bilinearly-upsampled class-major logits —
+    the reference hot loop's criterion (SURVEY.md §3.1) without ever
+    materializing full-res logits. beta=0 statically removes every KL/teacher
+    term from the kernels (the teacher operand isn't even passed)."""
+    total, task, _ = fused_ce_kl_loss_upsampled(
+        s_small, s_small, labels, out_h, out_w, 1.0, 1.0, 0.0,
+        ignore_index, 0.0, interpret)
+    return task

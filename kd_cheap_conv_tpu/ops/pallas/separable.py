@@ -43,7 +43,9 @@ def supports_fused_separable(*, stride, padding, dilation, kernel_size) -> bool:
     k, s, d, p = one(kernel_size), one(stride), one(dilation), one(padding)
     kh = kernel_size if isinstance(kernel_size, int) else kernel_size[0]
     kw = kernel_size if isinstance(kernel_size, int) else kernel_size[1]
-    return s == 1 and kh == kw and k >= 2 and p == d * (k - 1) // 2
+    # odd k only: even k with p = d*(k-1)//2 is not shape-preserving and the
+    # kernel's tap slice would overrun the halo window by one row
+    return s == 1 and kh == kw and k >= 3 and k % 2 == 1 and p == d * (k - 1) // 2
 
 
 def _pick_tile_h(h: int, w: int, c: int, itemsize: int,

@@ -33,16 +33,24 @@ def checkpoint_path(root: str, prefix: str, model: str, dataset: str,
                         _ckpt_name(prefix, model, dataset, output_stride))
 
 
+def _pure_model_state(tree):
+    """nnx.State -> pure dict, recursing through plain-dict wrappers (the KD
+    TrainState holds params as {'student': State[, 'adapters': State]})."""
+    if isinstance(tree, nnx.State):
+        return nnx.to_pure_dict(tree)
+    if isinstance(tree, dict):
+        return {k: _pure_model_state(v) for k, v in tree.items()}
+    return jax.tree.map(np.asarray, tree)
+
+
 def save_checkpoint(path: str, *, cur_itrs: int, params, rest, opt_state,
                     best_score: float) -> None:
     """Atomic Orbax save of the reference's five keys."""
     tree = {
         "cur_itrs": np.asarray(cur_itrs, np.int32),
         "model_state": {
-            "params": nnx.to_pure_dict(params) if isinstance(params, nnx.State)
-            else jax.tree.map(np.asarray, params),
-            "rest": nnx.to_pure_dict(rest) if isinstance(rest, nnx.State)
-            else jax.tree.map(np.asarray, rest),
+            "params": _pure_model_state(params),
+            "rest": _pure_model_state(rest),
         },
         "optimizer_state": jax.tree.map(np.asarray, opt_state),
         "scheduler_state": {"step": np.asarray(cur_itrs, np.int32)},
@@ -60,6 +68,50 @@ def load_checkpoint(path: str, target=None) -> dict:
     if target is not None:
         return ckptr.restore(path, target)
     return ckptr.restore(path)
+
+
+def _fill_from_pure(current, pure):
+    """Write pure-dict checkpoint values back into live state (States mutated
+    in place via replace_by_pure_dict; plain leaves replaced)."""
+    import jax.numpy as jnp
+
+    if isinstance(current, nnx.State):
+        nnx.replace_by_pure_dict(current, pure)
+        return current
+    if isinstance(current, dict):
+        return {k: _fill_from_pure(v, pure[k]) for k, v in current.items()}
+    return jax.tree.map(jnp.asarray, pure)
+
+
+def restore_train_state(path: str, state):
+    """Full --continue_training restore: params + BN stats + optimizer state
+    (momentum AND the schedule count, so poly LR continues instead of
+    restarting) + step + best_score (reference resume semantics,
+    SURVEY.md §2.4 checkpoint row).
+
+    `state` is the freshly init'd TrainState whose structure the checkpoint
+    must match (same model/KD config). Returns (new_state, best_score).
+    """
+    import jax.numpy as jnp
+
+    target = {
+        "cur_itrs": np.zeros((), np.int32),
+        "model_state": {
+            "params": _pure_model_state(state.params),
+            "rest": _pure_model_state(state.rest),
+        },
+        "optimizer_state": jax.tree.map(np.asarray, state.opt_state),
+        "scheduler_state": {"step": np.zeros((), np.int32)},
+        "best_score": np.zeros((), np.float32),
+    }
+    restored = load_checkpoint(path, target=target)
+    new_params = _fill_from_pure(state.params, restored["model_state"]["params"])
+    new_rest = _fill_from_pure(state.rest, restored["model_state"]["rest"])
+    new_opt = jax.tree.map(jnp.asarray, restored["optimizer_state"])
+    new_state = state.replace(
+        params=new_params, rest=new_rest, opt_state=new_opt,
+        step=jnp.asarray(restored["cur_itrs"], jnp.int32))
+    return new_state, float(restored["best_score"])
 
 
 # ---------------------------------------------------------------------------

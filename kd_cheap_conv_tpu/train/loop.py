@@ -71,6 +71,7 @@ def train_loop(
     validate_fn: Callable[[TrainState], dict] | None = None,
     log_fn: Callable[[str], None] = print,
     visualizer=None,
+    best_score: float = 0.0,
 ) -> tuple[TrainState, float]:
     """Run until cfg.total_itrs. Returns (final_state, best_score).
 
@@ -84,7 +85,6 @@ def train_loop(
 
     from .checkpoint import checkpoint_path
 
-    best_score = 0.0
     meter = AverageMeter()
     t_last = time.perf_counter()
     cur = int(state.step)

@@ -93,7 +93,7 @@ def make_optimizer(
 
     def default_label(dotted: str) -> str:
         if trainable_prefixes is not None and not any(
-            dotted == p or dotted.startswith(p + ".") or (p and dotted.startswith(p))
+            dotted == p or dotted.startswith(p + ".")
             for p in trainable_prefixes
         ):
             return "frozen"

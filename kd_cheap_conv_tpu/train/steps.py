@@ -55,6 +55,14 @@ def make_train_step(model: nnx.Module, tx: optax.GradientTransformation, *,
     """
     graphdef, params0, rest0 = _split_train(model)
     task = _task_fn(loss_type)
+    # Plain-CE hot path on TPU: head-resolution class-major logits into the
+    # fused upsample+CE Pallas kernel — the jnp gather-CE on full-res logits
+    # costs ~59ms/step at b16/513² (profiled), the kernel ~1ms, and the
+    # full-res logits never touch HBM.
+    from .. import config as _config
+    use_fused_ce = (loss_type == "cross_entropy"
+                    and _config.pallas_separable_enabled()
+                    and jax.device_count() == 1)
 
     def init_state() -> TrainState:
         return TrainState(params=params0, rest=rest0,
@@ -68,6 +76,13 @@ def make_train_step(model: nnx.Module, tx: optax.GradientTransformation, *,
 
         def loss_fn(model):
             # class-major logits: avoids TPU lane-padding the 21-class dim
+            if use_fused_ce:
+                from ..ops.pallas.losses import fused_ce_loss_upsampled
+
+                small = model(images, class_major=True, upsample=False)
+                return fused_ce_loss_upsampled(small, labels,
+                                               labels.shape[1],
+                                               labels.shape[2])
             return task(model(images, class_major=True), labels,
                         channel_axis=1)
 
@@ -90,6 +105,7 @@ def make_kd_train_step(
     *,
     adapters: nnx.Module | None = None,
     cached_teacher: bool = False,
+    mesh=None,
 ):
     """KD step (SURVEY.md §3.2). If cached_teacher, batches carry
     (images, labels, teacher_logits) and the teacher forward is skipped
@@ -132,8 +148,11 @@ def make_kd_train_step(
     # upsample-fused loss: model emits head-resolution logits; the Pallas
     # kernel applies the 16x bilinear inside VMEM (static decision; opt-in —
     # measured slower than resize + flat fused loss at 513², see config)
+    import jax as _jax
+
     from .. import config as _config
     use_up = (not cached_teacher and fused_loss_applicable(cfg)
+              and _jax.device_count() == 1  # no sharded upsample kernel yet
               and _config.fuse_upsample_into_loss_enabled())
 
     def init_state() -> TrainState:
@@ -187,7 +206,7 @@ def make_kd_train_step(
             return kd_total_loss(
                 s_logits, t_logits, labels, cfg,
                 student_taps=s_taps, teacher_taps=t_taps, adapters=adp,
-                channel_axis=1)
+                channel_axis=1, mesh=mesh)
 
         if adp is not None:
             (loss, aux), grads = nnx.value_and_grad(
@@ -220,7 +239,8 @@ def make_eval_step(model_graphdef, *, num_classes: int):
         m = nnx.merge(model_graphdef, params, rest)
         logits = m(images, class_major=True)
         preds = jnp.argmax(logits, axis=1).astype(jnp.int32)
-        valid = labels != 255
+        # reference _fast_hist masks 0 <= label < n_classes (not just 255)
+        valid = (labels >= 0) & (labels < num_classes)
         # confusion matrix accumulation: index = true * C + pred
         idx = jnp.where(valid, labels * num_classes + preds, num_classes * num_classes)
         counts = jnp.bincount(idx.reshape(-1),

@@ -2,7 +2,7 @@
 
 Counts 2*MAC FLOPs for every `conv_general_dilated` in the jaxpr of a
 model's forward (and scales fwd+bwd by the standard 3x for the student).
-Traced with jax.make_jaxpr — counts the真graph, not a hand model.
+Traced with jax.make_jaxpr — counts the traced graph, not a hand model.
 """
 
 from __future__ import annotations

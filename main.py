@@ -169,16 +169,34 @@ def main(argv=None) -> int:
         convert_to_separable_conv(model.classifier, rngs=rngs)
     set_bn_momentum(model.backbone, 0.01)
 
-    if opts.ckpt and os.path.exists(opts.ckpt):
+    def restore_model(m):
+        """Load --ckpt model weights into a live module. KD-run checkpoints
+        wrap params as {'student'[, 'adapters']}; unwrap to the bare model."""
         restored = load_checkpoint(opts.ckpt)
-        _, params, rest = nnx.split(model, nnx.Param, ...)
-        nnx.replace_by_pure_dict(params, restored["model_state"]["params"])
-        nnx.replace_by_pure_dict(rest, restored["model_state"]["rest"])
-        nnx.update(model, params, rest)
+        p = restored["model_state"]["params"]
+        r = restored["model_state"]["rest"]
+        if isinstance(p, dict) and "student" in p:
+            p = p["student"]
+        if isinstance(r, dict) and "student" in r:
+            r = r["student"]
+        _, params, rest = nnx.split(m, nnx.Param, ...)
+        nnx.replace_by_pure_dict(params, p)
+        nnx.replace_by_pure_dict(rest, r)
+        nnx.update(m, params, rest)
         print(f"Restored model from {opts.ckpt} "
               f"(itrs={int(restored['cur_itrs'])})")
 
     if opts.test_only:
+        if opts.kd:
+            # checkpoint may be a cheap-conv student: mirror the train-time
+            # surgery so the restored tree matches
+            spec = CheapConvSpec(kind=opts.cheap_conv, groups=opts.cheap_groups,
+                                 init=opts.cheap_init)
+            scope = (tuple(opts.replace_scope.split(","))
+                     if opts.replace_scope else None)
+            replace_cheap_convs(model, spec, scope=scope, rngs=rngs)
+        if opts.ckpt and os.path.exists(opts.ckpt):
+            restore_model(model)
         from kd_cheap_conv_tpu.utils import StreamSegMetrics
 
         model.eval()
@@ -283,6 +301,12 @@ def main(argv=None) -> int:
             adapters = make_hint_adapters(model, teacher, hint_taps,
                                           dtype=dtype, rngs=rngs)
 
+    # model restore happens AFTER cheap-conv surgery so a KD-student
+    # checkpoint's tree matches; --continue_training instead restores the
+    # full TrainState (params+opt+step+best) below.
+    if opts.ckpt and not opts.continue_training and os.path.exists(opts.ckpt):
+        restore_model(model)
+
     if opts.kd and opts.progressive:
         # config #4: stage-by-stage replacement + distill, then fine-tune.
         from kd_cheap_conv_tpu.kd.progressive import (
@@ -312,7 +336,8 @@ def main(argv=None) -> int:
         student.train()
         _, history = run_progressive(
             teacher, student, batch_iter_factory, pcfg,
-            input_hw=(opts.crop_size, opts.crop_size))
+            input_hw=(opts.crop_size, opts.crop_size),
+            mesh=mesh if jax.device_count() > 1 else None)
         print(f"Progressive schedule done: {len(history)} stages")
         return 0
 
@@ -332,18 +357,20 @@ def main(argv=None) -> int:
     if opts.kd:
         init_state, step_fn, t_state = make_kd_train_step(
             model, teacher, tx, kd_cfg, adapters=adapters,
-            cached_teacher=use_cached)
+            cached_teacher=use_cached,
+            mesh=mesh if jax.device_count() > 1 else None)
     else:
         init_state, step_fn = make_train_step(model, tx,
                                               loss_type=opts.loss_type)
         t_state = None
     state = init_state()
 
+    best0 = 0.0
     if opts.ckpt and opts.continue_training and os.path.exists(opts.ckpt):
-        restored = load_checkpoint(opts.ckpt)
-        state = state.replace(
-            step=jnp.asarray(restored["cur_itrs"], jnp.int32))
-        print(f"Continue training from itrs={int(state.step)}")
+        from kd_cheap_conv_tpu.train.checkpoint import restore_train_state
+        state, best0 = restore_train_state(opts.ckpt, state)
+        print(f"Continue training from itrs={int(state.step)} "
+              f"(best={best0:.4f}; optimizer+schedule restored)")
 
     train_iter = prefetch_to_device(
         make_loader(train_dst, batch_size=opts.batch_size, shuffle=True,
@@ -383,7 +410,8 @@ def main(argv=None) -> int:
     state, best = train_loop(state=state, step_fn=step_fn,
                              train_iter=train_iter, cfg=loop_cfg,
                              teacher_state=t_state, validate_fn=validate_fn,
-                             visualizer=vis if opts.enable_vis else None)
+                             visualizer=vis if opts.enable_vis else None,
+                             best_score=best0)
     vis.close()
     print(f"Best Mean IoU: {best:.4f}")
     return 0

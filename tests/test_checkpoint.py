@@ -54,6 +54,53 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(want[k], got[k], err_msg=k)
 
 
+def test_continue_training_full_resume(tmp_path):
+    """Resume must restore optimizer momentum + schedule count + best_score:
+    4 steps -> save -> restore into a FRESH differently-seeded state -> 4 more
+    steps must match an uninterrupted 8-step run (deterministic batches).
+    Catches the round-1 defect where resume restarted poly LR from base lr."""
+    from jax.flatten_util import ravel_pytree
+
+    from kd_cheap_conv_tpu.train.checkpoint import restore_train_state
+
+    rng = np.random.RandomState(0)
+    batches = [(jnp.asarray(rng.randn(2, 33, 33, 3), jnp.float32),
+                jnp.asarray(rng.randint(0, 6, (2, 33, 33)), jnp.int32))
+               for _ in range(8)]
+
+    def build(seed):
+        model = build_model("deeplabv3plus_mobilenet", num_classes=6,
+                            rngs=nnx.Rngs(seed))
+        _, params, _ = nnx.split(model, nnx.Param, ...)
+        tx = make_optimizer(params, lr=0.01, max_iters=8)
+        return make_train_step(model, tx)
+
+    init_a, step_a = build(0)
+    st = init_a()
+    for b in batches:
+        st, _ = step_a(st, b)
+    want, _ = ravel_pytree(nnx.to_pure_dict(st.params))
+
+    init_b, step_b = build(0)
+    st_b = init_b()
+    for b in batches[:4]:
+        st_b, _ = step_b(st_b, b)
+    path = checkpoint_path(str(tmp_path), "latest", "m", "synthetic", 16)
+    save_checkpoint(path, cur_itrs=int(st_b.step), params=st_b.params,
+                    rest=st_b.rest, opt_state=st_b.opt_state, best_score=0.33)
+
+    init_c, step_c = build(1)  # different init — restore must overwrite all
+    st_c, best = restore_train_state(path, init_c())
+    assert abs(best - 0.33) < 1e-6
+    assert int(st_c.step) == 4
+    assert int(st_c.opt_state.count) == 4  # poly LR continues, not restarts
+    for b in batches[4:]:
+        st_c, _ = step_c(st_c, b)
+    got, _ = ravel_pytree(nnx.to_pure_dict(st_c.params))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_torch_import_conv_bn_parity():
     """Import a tiny torch conv+bn model and check forward parity."""
     tnet = torch.nn.Sequential(

@@ -49,6 +49,15 @@ def test_cli_train_and_eval_roundtrip(tmp_path, capsys):
     out2 = capsys.readouterr().out
     assert "Mean IoU" in out2
 
+    # --continue_training: optimizer+schedule+best restored, runs to 8
+    args3 = args[:]
+    args3[args3.index("--total_itrs") + 1] = "8"
+    args3 += ["--ckpt", latest, "--continue_training"]
+    assert cli.main(args3) == 0
+    out3 = capsys.readouterr().out
+    assert "Continue training from itrs=4" in out3
+    assert "Itrs 8/8" in out3
+
 
 def test_cli_download_flag_errors():
     assert cli.main(["--download"]) == 2

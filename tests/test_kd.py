@@ -25,7 +25,7 @@ RNG = np.random.RandomState(0)
 
 
 def _count_convs(model, pred):
-    return sum(1 for _, m in model.iter_modules() if pred(m))
+    return sum(1 for _, m in nnx.iter_modules(model) if pred(m))
 
 
 def test_replace_all_dense_convs_with_separable():

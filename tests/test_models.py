@@ -80,7 +80,7 @@ def test_train_eval_bn_modes():
 def test_set_bn_momentum():
     m = build_model("deeplabv3plus_resnet50", num_classes=21)
     set_bn_momentum(m.backbone, 0.01)
-    mom = {mm.momentum for _, mm in m.backbone.iter_modules()
+    mom = {mm.momentum for _, mm in nnx.iter_modules(m.backbone)
            if isinstance(mm, nnx.BatchNorm)}
     assert mom == {0.99}
 

@@ -73,6 +73,39 @@ def test_fused_loss_extreme_teacher_logits():
     assert bool(jnp.isfinite(g).all())
 
 
+def test_sharded_fused_loss_matches_reference():
+    """shard_map-wrapped kernel on the 8-device CPU mesh: value + grad parity
+    with the jnp path on batch-sharded logits (VERDICT round-1 item 4)."""
+    from kd_cheap_conv_tpu.ops.pallas.losses import fused_ce_kl_loss_sharded
+    from kd_cheap_conv_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    n = mesh.devices.size * 2
+    s = jnp.asarray(RNG.randn(n, 21, 16, 23), jnp.float32)
+    t = jnp.asarray(RNG.randn(n, 21, 16, 23) * 3, jnp.float32)
+    lbl = RNG.randint(0, 21, (n, 16, 23)).astype(np.int32)
+    lbl[0, :3, :5] = 255
+    s, t, lbl = shard_batch((s, t, jnp.asarray(lbl)), mesh)
+
+    @jax.jit
+    def fused(s):
+        total, task, kd = fused_ce_kl_loss_sharded(s, t, lbl, mesh,
+                                                   4.0, 0.5, 0.5, 255, 3e4,
+                                                   True)
+        return total, (task, kd)
+
+    (total, (task, kd)) = fused(s)
+    rtotal, rtask, rkd = _ref(s, t, lbl)
+    np.testing.assert_allclose(float(task), float(rtask), rtol=1e-5)
+    np.testing.assert_allclose(float(kd), float(rkd), rtol=1e-5)
+    np.testing.assert_allclose(float(total), float(rtotal), rtol=1e-5)
+
+    g1 = jax.jit(jax.grad(lambda s: fused(s)[0]))(s)
+    g2 = jax.grad(lambda s: _ref(s, t, lbl)[0])(s)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
+
+
 def _data_small(n=2, c=21, h=9, w=9, H=33, W=33):
     s = jnp.asarray(RNG.randn(n, c, h, w), jnp.float32)
     t = jnp.asarray(RNG.randn(n, c, h, w) * 3, jnp.float32)
@@ -115,6 +148,28 @@ def test_upsample_fused_grad_matches():
     def f_ref(s):
         return _ref_upsampled(s, t, lbl, 33, 33)[0]
 
+    g1 = jax.grad(f_fused)(s)
+    g2 = jax.grad(f_ref)(s)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_fused_ce_only_upsampled_matches_reference():
+    """beta=0 CE-only path (the plain supervised hot loop): value + grad."""
+    from kd_cheap_conv_tpu.ops.pallas.losses import fused_ce_loss_upsampled
+
+    s, _, lbl = _data_small()
+
+    def f_fused(s):
+        return fused_ce_loss_upsampled(s, lbl, 33, 33, 255, True)
+
+    def f_ref(s):
+        from kd_cheap_conv_tpu.ops.resize import resize_bilinear_nchw
+
+        return cross_entropy(resize_bilinear_nchw(s, (33, 33)), lbl,
+                             channel_axis=1)
+
+    np.testing.assert_allclose(float(f_fused(s)), float(f_ref(s)), rtol=1e-4)
     g1 = jax.grad(f_fused)(s)
     g2 = jax.grad(f_ref)(s)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),

@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     p.add_argument("--output_stride", type=int, default=16)
     p.add_argument("--out", required=True)
     p.add_argument("--strict", action="store_true")
+    p.add_argument("--unsafe", action="store_true",
+                   help="allow full-pickle torch.load for non-state-dict "
+                        "blobs (executes arbitrary pickle code)")
     opts = p.parse_args(argv)
 
     import torch
@@ -35,7 +38,14 @@ def main(argv=None) -> int:
     from kd_cheap_conv_tpu.train.checkpoint import (
         import_torch_state_dict, save_checkpoint)
 
-    blob = torch.load(opts.pth, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(opts.pth, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not opts.unsafe:
+            raise SystemExit(
+                f"weights-only load failed ({e}); rerun with --unsafe to "
+                "allow full pickle execution on a TRUSTED file")
+        blob = torch.load(opts.pth, map_location="cpu", weights_only=False)
     sd = blob.get("model_state", blob) if isinstance(blob, dict) else blob
     # DataParallel checkpoints prefix keys with 'module.'
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
