@@ -36,11 +36,12 @@ def gemm_dilated_conv_enabled() -> bool:
     return bool(use_gemm_dilated_conv)
 
 
-# Upsample-into-loss fusion (ops.pallas.losses.fused_ce_kl_loss_upsampled):
-# measured SLOWER at 513² b16 (79.5 vs 73.7ms — the per-class 2D matmul
-# unroll beats the saved HBM traffic only at larger resolutions). Opt-in
-# (KDCC_FUSE_UPSAMPLE=1); candidate for config #3 @769².
-fuse_upsample_into_loss: bool | None = None
+# Upsample-into-loss fusion (ops.pallas.losses.fused_ce_kl_loss_upsampled).
+# v2 (block-diagonal row matmul over static windows) measured FASTER at
+# 513² b16: 72.0ms vs 73.7ms full-res fused loss (v1's per-class matmul
+# unroll was 79.5ms). Default ON for single-device TPU; KDCC_FUSE_UPSAMPLE=0
+# to disable.
+fuse_upsample_into_loss: bool | None = True
 
 
 def fuse_upsample_into_loss_enabled() -> bool:
@@ -48,6 +49,40 @@ def fuse_upsample_into_loss_enabled() -> bool:
     if env is not None:
         return env not in ("0", "false", "False")
     return bool(fuse_upsample_into_loss)
+
+
+# Fused Pallas MobileNetV2 stem (ops.pallas.stem): runs features[1..2] as
+# channel-sublane Pallas passes in training mode. Measured SLOWER in v1
+# (81.2 vs 72.1ms at b16/513²: the XLA pad/slice/transpose glue at every
+# pass boundary costs more HBM traffic than the layout saves — profiled
+# round 2). Opt-in while the padded-layout refactor lands.
+# Env: KDCC_PALLAS_STEM=0/1.
+use_pallas_stem: bool | None = False
+
+
+def pallas_stem_enabled() -> bool:
+    env = os.environ.get("KDCC_PALLAS_STEM")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_pallas_stem is not None:
+        return use_pallas_stem
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def pallas_interpret_mode() -> bool:
+    """Pallas kernels need interpret=True off-TPU (tests force-enable the
+    fused paths on the CPU mesh)."""
+    try:
+        import jax
+
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:
+        return True
 
 
 # MobileNetV2 stem layout: run the first K feature blocks channel-major

@@ -115,8 +115,73 @@ class MobileNetV2(nnx.Module):
         self.out_channels = input_channel  # 320
         self.channel_major_until = cm
 
+    def _fused_stem_active(self) -> bool:
+        from .. import config
+
+        if self.channel_major_until > 0 or not config.pallas_stem_enabled():
+            return False
+        # training-mode only: the fused passes compute batch BN stats;
+        # eval uses the stock path (BN folds into convs under XLA there)
+        if self.features[0].bn.use_running_average:
+            return False
+        # structural guard: cheap-conv surgery (kd.replace) may have swapped
+        # modules inside features[1..2] — fall back to the stock path then
+        try:
+            f1, f2 = self.features[1], self.features[2]
+            return (f1.body[0].conv.kernel.value.shape[2] == 1
+                    and f1.pw_linear.kernel.value.shape[:2] == (1, 1)
+                    and f2.body[0].conv.kernel.value.shape[:2] == (1, 1)
+                    and f2.body[1].conv.kernel.value.shape[2] == 1
+                    and f2.pw_linear.kernel.value.shape[:2] == (1, 1)
+                    and not f1.use_res_connect and not f2.use_res_connect)
+        except AttributeError:
+            return False
+
+    def _call_fused_stem(self, x):
+        """features[0].conv in XLA, features[1..2] via the fused Pallas stem
+        (ops.pallas.stem — see its docstring for the why), then running-stat
+        updates with each BN's own momentum, exactly like nnx.BatchNorm."""
+        from .. import config
+        from ..ops.pallas.stem import fused_stem_f1f2
+
+        f0, f1, f2 = self.features[0], self.features[1], self.features[2]
+        a0 = f0.conv(x)
+        dw = lambda kv: kv[:, :, 0, :].transpose(2, 0, 1).reshape(
+            kv.shape[3], 9)
+        pw = lambda kv: kv[0, 0].T
+        p = {
+            "k1": dw(f1.body[0].conv.kernel.value),
+            "w1": pw(f1.pw_linear.kernel.value),
+            "w2": pw(f2.body[0].conv.kernel.value),
+            "k2": dw(f2.body[1].conv.kernel.value),
+            "w3": pw(f2.pw_linear.kernel.value),
+        }
+        bns = [f0.bn, f1.body[0].bn, f1.pw_bn, f2.body[0].bn,
+               f2.body[1].bn, f2.pw_bn]
+        for i, bn in enumerate(bns):
+            p[f"g{i}"] = bn.scale.value
+            p[f"b{i}"] = bn.bias.value
+        out, stats = fused_stem_f1f2(a0, p, float(f0.bn.epsilon),
+                                     config.pallas_interpret_mode())
+        for bn, (m, v) in zip(bns, stats):
+            mom = bn.momentum
+            bn.mean.value = mom * bn.mean.value + (1.0 - mom) * m
+            bn.var.value = mom * bn.var.value + (1.0 - mom) * v
+        return out
+
     def __call__(self, x):
         import jax.numpy as jnp
+
+        if self._fused_stem_active():
+            x = self._call_fused_stem(x)
+            low_level = None
+            for i, m in enumerate(self.features):
+                if i < 3:
+                    continue
+                x = m(x)
+                if i == 3:
+                    low_level = x
+            return {"low_level": low_level, "out": x}
 
         cm = self.channel_major_until
         if cm > 0:

@@ -542,8 +542,8 @@ def _up2_prep(s_small, out_h, out_w):
     th = _pick_th(out_h)
     nh = pl.cdiv(out_h, th)
     starts, nw, bd = _window_tables(hin, out_h, th, c)
-    wc = jnp.asarray(bilinear_matrix(win, out_w).T)     # (w, W)
-    return n, c, hin, win, th, nh, starts, nw, jnp.asarray(bd), wc
+    wc = bilinear_matrix(win, out_w).T                   # (w, W) np
+    return n, c, hin, win, th, nh, starts, nw, bd, wc  # bd/wc stay numpy
 
 
 def _up_run_fwd(s_small, t_small, labels, out_h, out_w, T, ignore_index,
@@ -566,7 +566,7 @@ def _up_run_fwd(s_small, t_small, labels, out_h, out_w, T, ignore_index,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),   # Wc (w, W)
     ]
-    operands += [labels, bd, wc]
+    operands += [labels, jnp.asarray(bd), jnp.asarray(wc)]
     kern = functools.partial(
         _up2_fwd_kernel_kl if with_kl else _up2_fwd_kernel_ce,
         C=c, T=float(T), th=th, nw=nw, H=out_h,
@@ -622,8 +622,8 @@ def _up_bwd_rule(out_h, out_w, temperature, alpha, beta, ignore_index,
     with_kl = beta != 0.0
     scalars = _grad_scales(cts, denom, alpha, beta, temperature,
                            float(n * out_h * out_w))
-    bdt = jnp.asarray(np.transpose(np.asarray(bd), (0, 2, 1)))
-    wct = jnp.asarray(np.asarray(wc).T)
+    bdt = jnp.asarray(np.ascontiguousarray(bd.transpose(0, 2, 1)))
+    wct = jnp.asarray(np.ascontiguousarray(wc.T))
 
     win_spec = pl.BlockSpec((1, 1, c, nw, win), lambda i, j: (i, j, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -643,7 +643,7 @@ def _up_bwd_rule(out_h, out_w, temperature, alpha, beta, ignore_index,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # Wc^T
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    operands += [labels, bd, bdt, wc, wct, scalars]
+    operands += [labels, jnp.asarray(bd), bdt, jnp.asarray(wc), wct, scalars]
     kern = functools.partial(
         _up2_bwd_kernel_kl if with_kl else _up2_bwd_kernel_ce,
         C=c, T=float(temperature), th=th, nw=nw, H=out_h,

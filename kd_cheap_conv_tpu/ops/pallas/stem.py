@@ -1,0 +1,908 @@
+"""Fused MobileNetV2 stem (features[1..2]) in channel-sublane layout.
+
+Why: at 513² the student's early blocks run on (N, 257, 257, C) tensors with
+C ∈ {16..96}. XLA:TPU lane-pads the minor (channel) dim to 128, so every
+conv/BN/elementwise op pays 1.3-8x HBM traffic — profiled at ~18 ms of the
+71 ms KD step (round-2 xplane profile), 10-20x over the memory roofline.
+Forcing NCHW at the jnp level does not help (XLA re-canonicalizes layouts).
+
+Here the stem activations live in (N, H, C, W) — channels in SUBLANES
+(16/24/32/96 are all multiples of 8; zero padding), W in lanes — and the
+whole f1+f2 chain runs as a handful of Pallas passes with HBM intermediates
+in that layout:
+
+    a0 -(bn0+relu6, dw3x3)-> a1 -(bn1+relu6, pw 32->16)-> a2
+       -(bn2, pw 16->96)-> a3 -(bn3+relu6, dw3x3 s2)-> a4
+       -(bn4+relu6, pw 96->24)-> a5 ; out = bn5(a5)
+
+Each pass applies the previous BatchNorm (training-mode batch stats, flax
+semantics: biased variance, y = (x-mu)*rsqrt(var+eps)*gamma+beta), the relu6
+where the reference has one, one conv, and accumulates the NEXT BN's batch
+moments on the fly — so every BN barrier costs exactly one read+write of one
+unpadded tensor.
+
+Stride-2 tricks (no strided lane/sublane access needed):
+  * H stride 2: tensors are viewed as (N, H/2, 2, C, W) — row pairs are a
+    free reshape of the same memory, so taps 2r-1 / 2r / 2r+1 are plain
+    major-dim slices.
+  * W stride 2: the lane contraction out[w'] = sum_dw k*x[2w'+dw-1] is a
+    matmul with a static 0/1 selection matrix S_dw (W, W'), batched over
+    rows and channels as one ((bh*C), W) @ (W, W') MXU op per tap.
+
+Backward mirrors the passes in reverse: each bwd pass recomputes the needed
+activations from the saved pre-BN conv outputs, applies the analytic
+train-mode BN backward (which needs per-channel sums of g and g*xhat —
+accumulated by the *previous* bwd pass), the conv transpose, and the conv
+weight gradients (revisited-output accumulators).
+
+Reference semantics: torchvision-scheme MobileNetV2 InvertedResidual
+(SURVEY.md §2.1); numerics pinned against the plain NNX module path by
+tests/test_pallas_stem.py (values, grads, and BN batch stats).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BH = 8  # output rows per grid cell (major dim — no tiling constraint)
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+# ---------------------------------------------------------------------------
+
+def _sel_matrices(w_in: int, w_out: int):
+    """Static 0/1 selection matrices S_dw (w_in, w_out): S[w, w'] = 1 iff
+    w == 2*w' + dw - 1 (stride-2, pad-1 3-tap contraction along W)."""
+    mats = []
+    for dw in range(3):
+        s = np.zeros((w_in, w_out), np.float32)
+        for wp in range(w_out):
+            w = 2 * wp + dw - 1
+            if 0 <= w < w_in:
+                s[w, wp] = 1.0
+        mats.append(s)
+    return mats
+
+
+def _bn_apply(x, bn, relu, eps):
+    """x (rows, C, W) f32; bn (C, 4) = [mean, var, gamma, beta] f32."""
+    mu = bn[:, 0:1][None]
+    var = bn[:, 1:2][None]
+    g = bn[:, 2:3][None]
+    b = bn[:, 3:4][None]
+    u = (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+    return jnp.clip(u, 0.0, 6.0) if relu else u
+
+
+def _row_mask(nrows, C, W, j, bh, first_global, H):
+    """(nrows,1,1) f32 mask of rows whose GLOBAL index is inside [0, H)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1, 1), 0)
+    gr = r + j * bh + first_global
+    return ((gr >= 0) & (gr < H)).astype(jnp.float32)
+
+
+def _stats_tile(y, mask, C):
+    """Per-channel [sum, sumsq] packed in a (C, 128) tile (cols 0/1)."""
+    ym = y * mask
+    s = jnp.sum(ym, axis=(0, 2))
+    s2 = jnp.sum(ym * ym, axis=(0, 2))
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
+    return (jnp.where(col == 0, s[:, None], 0.0)
+            + jnp.where(col == 1, s2[:, None], 0.0))
+
+
+def _accum(ref, j, tile):
+    @pl.when(j == 0)
+    def _():
+        ref[0] = tile
+
+    @pl.when(j > 0)
+    def _():
+        ref[0] += tile
+
+
+def _dw_taps(h, k, bh, W, flip=False):
+    """Stride-1 3x3 depthwise on bn'd halo rows h (bh+2, C, W) with
+    per-channel kernel k (C, 9). flip=True uses the spatially flipped
+    kernel (transpose conv) via static tap reindexing — Mosaic has no
+    `rev` lowering. Returns (bh, C, W) f32."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    acc = jnp.zeros((bh, h.shape[1], W), jnp.float32)
+    for dh in range(3):
+        rows = h[dh:dh + bh]
+        for dw in range(3):
+            if dw == 1:
+                sh = rows
+            else:
+                # dw=0: tap x[w-1] -> roll right by 1; dw=2: left by 1
+                # (pltpu.roll is circular and needs a non-negative shift)
+                shift = 1 if dw == 0 else W - 1
+                sh = pltpu.roll(rows, shift, axis=2)
+                if dw == 0:
+                    sh = jnp.where(lane >= 1, sh, 0.0)
+                else:
+                    sh = jnp.where(lane < W - 1, sh, 0.0)
+            t = 8 - (dh * 3 + dw) if flip else dh * 3 + dw
+            acc = acc + sh * k[:, t:t + 1][None]
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# forward kernels
+# ---------------------------------------------------------------------------
+
+def _k_stats(x_ref, s_ref, *, bh, H):
+    """Batch moments of a (N,H,C,W) tensor: per-C [sum, sumsq]."""
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)
+    m = _row_mask(bh, x.shape[1], x.shape[2], j, bh, 0, H)
+    _accum(s_ref, j, _stats_tile(x, m, x.shape[1]))
+
+
+def _k_bn_dw(x_ref, bn_ref, k_ref, y_ref, s_ref, *, bh, H, relu, eps):
+    """bn(+relu6) -> depthwise 3x3 s1 -> y + next-BN moments.
+    x block (1, bh+2, C, W) halo rows starting at global j*bh-1."""
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)
+    h = _bn_apply(x, bn_ref[...].astype(jnp.float32), relu, eps)
+    h = h * _row_mask(bh + 2, 0, 0, j, bh, -1, H)   # conv zero-padding
+    y = _dw_taps(h, k_ref[...].astype(jnp.float32), bh, x.shape[2])
+    y_ref[0] = y.astype(y_ref.dtype)
+    m = _row_mask(bh, 0, 0, j, bh, 0, H)
+    _accum(s_ref, j, _stats_tile(y, m, y.shape[1]))
+
+
+def _k_bn_pw(x_ref, bn_ref, w_ref, y_ref, s_ref, *, bh, H, relu, eps):
+    """bn(+relu6 opt) -> pointwise (Ci->Co) -> y + next-BN moments.
+    x block (1, bh, Ci, W); w (Co, Ci)."""
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)
+    h = _bn_apply(x, bn_ref[...].astype(jnp.float32), relu, eps)
+    w = w_ref[...].astype(jnp.float32)
+    rows = [jnp.dot(w, h[r], preferred_element_type=jnp.float32)
+            for r in range(bh)]
+    y = jnp.stack(rows, axis=0)                      # (bh, Co, W)
+    y_ref[0] = y.astype(y_ref.dtype)
+    m = _row_mask(bh, 0, 0, j, bh, 0, H)
+    _accum(s_ref, j, _stats_tile(y, m, y.shape[1]))
+
+
+def _k_bn_dw_s2(xp_ref, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
+                y_ref, st_ref, *, bh, Hin, Hout, eps):
+    """bn+relu6 -> depthwise 3x3 STRIDE-2 -> y (Hout=Hin//2+..) + moments.
+
+    xp block (1, bh+1, 2, C, Win): row PAIRS of the (N, ceil/2, 2, C, W)
+    view, starting at global pair j*bh-1 (pair-padded by 1 at top). Output
+    row r (global R=j*bh+r) taps input rows 2R-1,2R,2R+1 = pairs
+    (R-1,1),(R,0),(R,1). W stride-2 via the selection matmuls s0/s1/s2.
+    """
+    j = pl.program_id(1)
+    xp = xp_ref[0].astype(jnp.float32)               # (bh+1, 2, C, Win)
+    C = xp.shape[2]
+    bn = bn_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)               # (C, 9)
+
+    taps_rows = []
+    first_globals = []
+    for dh in range(3):
+        if dh == 0:
+            rows = xp[0:bh, 1]                       # global row 2R-1
+            first = -1
+        else:
+            rows = xp[1:bh + 1, dh - 1]              # 2R (dh=1) / 2R+1 (dh=2)
+            first = dh - 1
+        taps_rows.append((rows, first))
+        first_globals.append(first)
+
+    sels = [s0_ref[...], s1_ref[...], s2_ref[...]]   # (Win, Wout) f32
+    Wout = sels[0].shape[1]
+    acc = jnp.zeros((bh, C, Wout), jnp.float32)
+    for dh, (rows, first) in enumerate(taps_rows):
+        h = _bn_apply(rows, bn, True, eps)
+        # zero the conv padding: global input row = 2*(j*bh + r) + first
+        r = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
+        gr = 2 * (r + j * bh) + first
+        h = h * ((gr >= 0) & (gr < Hin)).astype(jnp.float32)
+        flat = h.reshape(bh * C, h.shape[2])
+        for dw in range(3):
+            tap = jnp.dot(flat, sels[dw],
+                          preferred_element_type=jnp.float32)
+            tap = tap.reshape(bh, C, Wout)
+            acc = acc + tap * k[:, dh * 3 + dw:dh * 3 + dw + 1][None]
+    y_ref[0] = acc.astype(y_ref.dtype)
+    m = _row_mask(bh, 0, 0, j, bh, 0, Hout)
+    _accum(st_ref, j, _stats_tile(acc, m, C))
+
+
+# ---------------------------------------------------------------------------
+# forward pass drivers
+# ---------------------------------------------------------------------------
+
+def _pad_rows(x, top: int, total: int):
+    """Pad the H (axis 1) dim: `top` zeros before, to `total` rows."""
+    return jnp.pad(x, ((0, 0), (top, total - x.shape[1] - top),
+                       (0, 0), (0, 0)))
+
+
+def _bn_pack(mean, var, gamma, beta):
+    return jnp.stack([mean, var, gamma, beta], axis=1).astype(jnp.float32)
+
+
+def _moments(sums, count):
+    s = sums[:, :, 0].sum(0)
+    s2 = sums[:, :, 1].sum(0)
+    mean = s / count
+    var = s2 / count - mean * mean
+    return mean, var
+
+
+def _run_stats(x, H, interpret):
+    n, _, c, w = x.shape
+    nh = pl.cdiv(H, BH)
+    xp = _pad_rows(x, 0, nh * BH)
+    sums = pl.pallas_call(
+        functools.partial(_k_stats, bh=BH, H=H),
+        out_shape=jax.ShapeDtypeStruct((n, c, 128), jnp.float32),
+        grid=(n, nh),
+        in_specs=[pl.BlockSpec((1, BH, c, w), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp)
+    return _moments(sums, float(x.shape[0] * H * w))
+
+
+def _run_bn_dw(x, bn, k, H, relu, eps, interpret, out_dtype):
+    """x (N,H,C,W) pre-BN; returns (y (N,H,C,W), mean, var of y)."""
+    n, _, c, w = x.shape
+    nh = pl.cdiv(H, BH)
+    xp = _pad_rows(x[:, :H], 1, nh * BH + 2)
+    y, sums = pl.pallas_call(
+        functools.partial(_k_bn_dw, bh=BH, H=H, relu=relu, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((n, nh * BH, c, w), out_dtype),
+                   jax.ShapeDtypeStruct((n, c, 128), jnp.float32)),
+        grid=(n, nh),
+        in_specs=[
+            pl.BlockSpec((pl.Element(1), pl.Element(BH + 2), pl.Element(c),
+                          pl.Element(w)),
+                         lambda i, j: (i, j * BH, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 4), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 9), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BH, c, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xp, bn, k)
+    mean, var = _moments(sums, float(n * H * w))
+    return y[:, :H], mean, var
+
+
+def _run_bn_pw(x, bn, w2, H, relu, eps, interpret, out_dtype):
+    """x (N,H,Ci,W); w2 (Co,Ci); returns (y (N,H,Co,W), mean, var)."""
+    n, _, ci, w = x.shape
+    co = w2.shape[0]
+    nh = pl.cdiv(H, BH)
+    xp = _pad_rows(x[:, :H], 0, nh * BH)
+    y, sums = pl.pallas_call(
+        functools.partial(_k_bn_pw, bh=BH, H=H, relu=relu, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((n, nh * BH, co, w), out_dtype),
+                   jax.ShapeDtypeStruct((n, co, 128), jnp.float32)),
+        grid=(n, nh),
+        in_specs=[
+            pl.BlockSpec((1, BH, ci, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci, 4), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, ci), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BH, co, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xp, bn, w2)
+    mean, var = _moments(sums, float(n * H * w))
+    return y[:, :H], mean, var
+
+
+def _run_bn_dw_s2(x, bn, k, Hin, eps, interpret, out_dtype):
+    """x (N,Hin,C,Win) pre-BN; stride-2 dw; returns (y (N,Hout,C,Wout),
+    mean, var). Hout = (Hin+1)//2, Wout = (Win+1)//2 (pad-1 semantics)."""
+    n, _, c, win = x.shape
+    hout = (Hin + 1) // 2
+    wout = (win + 1) // 2
+    nh = pl.cdiv(hout, BH)
+    # (N, P, 2, C, W) pair view over H padded to even >= 2*nh*BH (+pad pair)
+    npairs = nh * BH
+    xr = _pad_rows(x[:, :Hin], 0, 2 * npairs)
+    xp = xr.reshape(n, npairs, 2, c, win)
+    xp = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    sels = [jnp.asarray(s) for s in _sel_matrices(win, wout)]
+    y, sums = pl.pallas_call(
+        functools.partial(_k_bn_dw_s2, bh=BH, Hin=Hin, Hout=hout, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((n, nh * BH, c, wout), out_dtype),
+                   jax.ShapeDtypeStruct((n, c, 128), jnp.float32)),
+        grid=(n, nh),
+        in_specs=[
+            pl.BlockSpec((pl.Element(1), pl.Element(BH + 1), pl.Element(2),
+                          pl.Element(c), pl.Element(win)),
+                         lambda i, j: (i, j * BH, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 4), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 9), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BH, c, wout), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xp, bn, k, *sels)
+    mean, var = _moments(sums, float(n * hout * wout))
+    return y[:, :hout], mean, var
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+#
+# Convention: gy_k = dL/d(u_k) where u_k is BN_k's pre-clip output (the relu6
+# mask is applied by the pass that PRODUCES gy_k). Each pass receives
+# gy_{next} plus its per-channel totals (needed by the train-mode BN backward:
+# g_a = gamma*inv * (gy - mean(gy) - xhat*mean(gy*xhat))), applies the conv
+# transpose + weight grads, and emits gy_k + its totals for the next pass.
+# dgamma = sum(gy*xhat), dbeta = sum(gy) come free from the same totals.
+
+
+def _bn_bwd_apply(gy, a, p, eps):
+    """p (C, 6): [mean, var, gamma, sum_g, sum_gx, inv_count]."""
+    mu = p[:, 0:1][None]
+    var = p[:, 1:2][None]
+    g = p[:, 2:3][None]
+    sg = p[:, 3:4][None]
+    sgx = p[:, 4:5][None]
+    im = p[:, 5:6][None]
+    inv = jax.lax.rsqrt(var + eps)
+    xh = (a - mu) * inv
+    return g * inv * (gy - sg * im - xh * (sgx * im))
+
+
+def _bn_u_xh(a, bn, eps):
+    """Returns (u pre-clip, xhat) for bn (C,4)."""
+    mu = bn[:, 0:1][None]
+    var = bn[:, 1:2][None]
+    g = bn[:, 2:3][None]
+    b = bn[:, 3:4][None]
+    inv = jax.lax.rsqrt(var + eps)
+    xh = (a - mu) * inv
+    return xh * g + b, xh
+
+
+def _grad_sums_tile(gu, xh, C):
+    s = jnp.sum(gu, axis=(0, 2))
+    sx = jnp.sum(gu * xh, axis=(0, 2))
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
+    return (jnp.where(col == 0, s[:, None], 0.0)
+            + jnp.where(col == 1, sx[:, None], 0.0))
+
+
+def _accum_global(ref, i, j, tile):
+    first = jnp.logical_and(i == 0, j == 0)
+
+    @pl.when(first)
+    def _():
+        ref[...] = tile
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[...] += tile
+
+
+def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
+              gyk_ref, sums_ref, dw_ref, *, bh, H, relu_k, eps):
+    """Backward over [bn_k(+relu_k) -> pw -> a_next] given gy_next.
+
+    gy (1,bh,Co,W); a_next (1,bh,Co,W); a_k (1,bh,Ci,W); pn (Co,6) next-BN
+    backward params/totals; bnk (Ci,4); wt = W^T (Ci,Co).
+    Outputs: gy_k (1,bh,Ci,W); sums (1,Ci,128) per-image accum;
+    dw (Co,Ci) global accum.
+    """
+    i, j = pl.program_id(0), pl.program_id(1)
+    gy = gy_ref[0].astype(jnp.float32)
+    an = an_ref[0].astype(jnp.float32)
+    ak = ak_ref[0].astype(jnp.float32)
+    ga = _bn_bwd_apply(gy, an, pn_ref[...].astype(jnp.float32), eps)
+    ga = ga * _row_mask(bh, 0, 0, j, bh, 0, H)
+
+    bnk = bnk_ref[...].astype(jnp.float32)
+    u, xh = _bn_u_xh(ak, bnk, eps)
+    z = jnp.clip(u, 0.0, 6.0) if relu_k else u
+
+    wt = wt_ref[...].astype(jnp.float32)            # (Ci, Co)
+    dims = (((1,), (1,)), ((), ()))                 # contract W
+    dw_tile = jnp.zeros((wt.shape[1], wt.shape[0]), jnp.float32)
+    gz_rows = []
+    for r in range(bh):
+        dw_tile += jax.lax.dot_general(ga[r], z[r], dims,
+                                       preferred_element_type=jnp.float32)
+        gz_rows.append(jnp.dot(wt, ga[r],
+                               preferred_element_type=jnp.float32))
+    gz = jnp.stack(gz_rows, axis=0)                 # (bh, Ci, W)
+    if relu_k:
+        gu = gz * ((u > 0.0) & (u < 6.0)).astype(jnp.float32)
+    else:
+        gu = gz
+    gyk_ref[0] = gu.astype(gyk_ref.dtype)
+    _accum(sums_ref, j, _grad_sums_tile(gu, xh, gu.shape[1]))
+    _accum_global(dw_ref, i, j, dw_tile)
+
+
+def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
+              gyk_ref, sums_ref, dk_ref, *, bh, H, eps):
+    """Backward over [bn_k(relu6) -> dw3x3 s1 -> a_next] given gy_next.
+
+    gy/a_next halo blocks (1,bh+2,C,W) (transpose-conv needs g halos; the
+    weight grad needs h halos); a_k halo (1,bh+2,C,W).
+    Outputs gy_k (1,bh,C,W), sums, dk (C, 128) cols 0..8 global accum.
+    """
+    i, j = pl.program_id(0), pl.program_id(1)
+    gy = gy_ref[0].astype(jnp.float32)              # (bh+2, C, W)
+    an = an_ref[0].astype(jnp.float32)
+    ak = ak_ref[0].astype(jnp.float32)
+    C, W = gy.shape[1], gy.shape[2]
+    pn = pn_ref[...].astype(jnp.float32)
+    ga = _bn_bwd_apply(gy, an, pn, eps)             # (bh+2, C, W)
+    ga = ga * _row_mask(bh + 2, 0, 0, j, bh, -1, H)
+
+    bnk = bnk_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)              # (C, 9)
+    u, xh = _bn_u_xh(ak, bnk, eps)
+    h = jnp.clip(u, 0.0, 6.0)
+    h = h * _row_mask(bh + 2, 0, 0, j, bh, -1, H)
+
+    # transpose conv: gh[h,w] = sum K[dh,dw] * ga[h-dh+1, w-dw+1]
+    # == dw-conv of ga with the spatially flipped kernel
+    gh = _dw_taps(ga, k, bh, W, flip=True)          # (bh, C, W)
+
+    # weight grad: dk[c, t] = sum taps(h)[t] * ga_center
+    ga_c = ga[1:1 + bh]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    cols = []
+    for dh in range(3):
+        rows = h[dh:dh + bh]
+        for dw in range(3):
+            if dw == 1:
+                sh = rows
+            else:
+                shift = 1 if dw == 0 else W - 1
+                sh = pltpu.roll(rows, shift, axis=2)
+                if dw == 0:
+                    sh = jnp.where(lane >= 1, sh, 0.0)
+                else:
+                    sh = jnp.where(lane < W - 1, sh, 0.0)
+            cols.append(jnp.sum(sh * ga_c, axis=(0, 2)))  # (C,)
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
+    dk_tile = jnp.zeros((C, 128), jnp.float32)
+    for t in range(9):
+        dk_tile += jnp.where(col == t, cols[t][:, None], 0.0)
+
+    u_c, xh_c = u[1:1 + bh], xh[1:1 + bh]
+    gu = gh * ((u_c > 0.0) & (u_c < 6.0)).astype(jnp.float32)
+    # zero padded rows: gh taps reach real ga rows from beyond H, and the
+    # garbage would pollute the per-channel sums
+    gu = gu * _row_mask(bh, 0, 0, j, bh, 0, H)
+    gyk_ref[0] = gu.astype(gyk_ref.dtype)
+    _accum(sums_ref, j, _grad_sums_tile(gu, xh_c, C))
+    _accum_global(dk_ref, i, j, dk_tile)
+
+
+
+def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
+                 sf0_ref, sf1_ref, sf2_ref, st0_ref, st1_ref, st2_ref,
+                 gyk_ref, sums_ref, dk_ref, *, bh, Hin, Hout, eps):
+    """Backward over [bn_k(relu6) -> dw3x3 STRIDE-2 -> a_next].
+
+    Grid over the low-res g rows m in [j*bh, j*bh+bh). Blocks:
+      gy / a_next: (1, bh+1, C, Wout) Element rows starting j*bh (one halo
+        row at the bottom for the dh=0 contribution of g[m+1]);
+      a_k: PAIR-VIEW halo (1, bh+1, 2, C, Win) Element pairs starting
+        j*bh in the top-padded pair array (same window as the fwd kernel).
+    sf* = S_dw (Win, Wout) fwd selection; st* = S_dw^T (Wout, Win).
+    gy_k written in PAIR VIEW (1, bh, 2, C, Win): pair m holds rows
+    (2m, 2m+1) — even from g[m] (dh=1 weights), odd from g[m] (dh=2) +
+    g[m+1] (dh=0). No overlapping writes.
+    """
+    i, j = pl.program_id(0), pl.program_id(1)
+    gy = gy_ref[0].astype(jnp.float32)              # (bh+1, C, Wout)
+    an = an_ref[0].astype(jnp.float32)
+    akp = akp_ref[0].astype(jnp.float32)            # (bh+1, 2, C, Win)
+    C = gy.shape[1]
+    Win = akp.shape[3]
+    pn = pn_ref[...].astype(jnp.float32)
+    bnk = bnk_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)              # (C, 9)
+
+    ga = _bn_bwd_apply(gy, an, pn, eps)             # (bh+1, C, Wout)
+    r = jax.lax.broadcasted_iota(jnp.int32, (bh + 1, 1, 1), 0)
+    ga = ga * ((r + j * bh) < Hout).astype(jnp.float32)
+
+    sts = [st0_ref[...], st1_ref[...], st2_ref[...]]
+    sfs = [sf0_ref[...], sf1_ref[...], sf2_ref[...]]
+
+    def lanes_t(g_rows, dw):
+        """(rows, C, Wout) @ S_dw^T -> (rows, C, Win)."""
+        flat = g_rows.reshape(g_rows.shape[0] * C, g_rows.shape[2])
+        out = jnp.dot(flat, sts[dw], preferred_element_type=jnp.float32)
+        return out.reshape(g_rows.shape[0], C, Win)
+
+    even = jnp.zeros((bh, C, Win), jnp.float32)
+    odd = jnp.zeros((bh, C, Win), jnp.float32)
+    for dw in range(3):
+        t0 = lanes_t(ga[0:bh], dw)
+        even = even + t0 * k[:, 3 + dw:4 + dw][None]
+        odd = (odd + t0 * k[:, 6 + dw:7 + dw][None]
+               + lanes_t(ga[1:bh + 1], dw) * k[:, dw:dw + 1][None])
+
+    # relu mask + xhat at the high-res output rows: pairs m = j*bh + p - 1
+    # live at akp local p in [1, bh+1)
+    a_even = akp[1:bh + 1, 0]
+    a_odd = akp[1:bh + 1, 1]
+    u_e, xh_e = _bn_u_xh(a_even, bnk, eps)
+    u_o, xh_o = _bn_u_xh(a_odd, bnk, eps)
+    re = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0) + j * bh
+    m_e = ((2 * re) < Hin).astype(jnp.float32)
+    m_o = ((2 * re + 1) < Hin).astype(jnp.float32)
+    gu_e = even * ((u_e > 0.0) & (u_e < 6.0)).astype(jnp.float32) * m_e
+    gu_o = odd * ((u_o > 0.0) & (u_o < 6.0)).astype(jnp.float32) * m_o
+    gyk_ref[0, :, 0] = gu_e.astype(gyk_ref.dtype)
+    gyk_ref[0, :, 1] = gu_o.astype(gyk_ref.dtype)
+    _accum(sums_ref, j,
+           _grad_sums_tile(gu_e, xh_e, C) + _grad_sums_tile(gu_o, xh_o, C))
+
+    # weight grad dk[c, dh*3+dw] = sum_{m,w'} h[2m+dh-1][2w'+dw-1] * ga[m,w']
+    # — the forward tap structure, recomputed from the pair-view halo
+    ga_c = ga[0:bh]
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
+    dk_tile = jnp.zeros((C, 128), jnp.float32)
+    for dh in range(3):
+        if dh == 0:
+            rows, first = akp[0:bh, 1], -1           # rows 2m-1
+        else:
+            rows, first = akp[1:bh + 1, dh - 1], dh - 1
+        uu, _ = _bn_u_xh(rows, bnk, eps)
+        hh = jnp.clip(uu, 0.0, 6.0)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
+        gr = 2 * (rr + j * bh) + first
+        hh = hh * ((gr >= 0) & (gr < Hin)).astype(jnp.float32)
+        flat = hh.reshape(bh * C, Win)
+        for dw in range(3):
+            tap = jnp.dot(flat, sfs[dw], preferred_element_type=jnp.float32)
+            tap = tap.reshape(bh, C, ga_c.shape[2])
+            v = jnp.sum(tap * ga_c, axis=(0, 2))
+            dk_tile += jnp.where(col == dh * 3 + dw, v[:, None], 0.0)
+    _accum_global(dk_ref, i, j, dk_tile)
+
+
+# ---------------------------------------------------------------------------
+# backward pass drivers
+# ---------------------------------------------------------------------------
+
+def _bnbwd_pack(mean, var, gamma, sum_g, sum_gx, count):
+    inv = jnp.full_like(mean, 1.0 / count)
+    return jnp.stack([mean, var, gamma, sum_g, sum_gx, inv],
+                     axis=1).astype(jnp.float32)
+
+
+def _bnbwd_identity(c):
+    """Identity 'next-BN backward': g_a passes through unchanged."""
+    z = jnp.zeros((c,), jnp.float32)
+    return jnp.stack([z, 1.0 - 0.0 * z, 1.0 + 0.0 * z, z, z, z], axis=1)
+
+
+def _run_pw_bwd(gy, a_next, a_k, pn, bnk, w2, H, relu_k, eps, interpret):
+    """Returns (gy_k (N,H,Ci,W) f32, sums (Ci,2), dW (Co,Ci))."""
+    n, _, co, w = gy.shape
+    ci = a_k.shape[2]
+    nh = pl.cdiv(H, BH)
+    gyp = _pad_rows(gy[:, :H], 0, nh * BH)
+    anp = _pad_rows(a_next[:, :H], 0, nh * BH)
+    akp = _pad_rows(a_k[:, :H], 0, nh * BH)
+    wt = jnp.transpose(w2, (1, 0))                  # (Ci, Co)
+    gyk, sums, dw = pl.pallas_call(
+        functools.partial(_k_pw_bwd, bh=BH, H=H, relu_k=relu_k, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((n, nh * BH, ci, w), jnp.float32),
+                   jax.ShapeDtypeStruct((n, ci, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((co, ci), jnp.float32)),
+        grid=(n, nh),
+        in_specs=[
+            pl.BlockSpec((1, BH, co, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BH, co, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BH, ci, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, 6), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci, 4), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci, co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BH, ci, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, ci), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(gyp, anp, akp, pn, bnk, wt)
+    s = sums.sum(0)[:, :2]
+    return gyk[:, :H], s, dw
+
+
+def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, eps, interpret):
+    """Stride-1 dw backward. Returns (gy_k, sums (C,2), dk (C,9))."""
+    n, _, c, w = gy.shape
+    nh = pl.cdiv(H, BH)
+    gyp = _pad_rows(gy[:, :H], 1, nh * BH + 2)
+    anp = _pad_rows(a_next[:, :H], 1, nh * BH + 2)
+    akp = _pad_rows(a_k[:, :H], 1, nh * BH + 2)
+    halo = pl.BlockSpec((pl.Element(1), pl.Element(BH + 2), pl.Element(c),
+                         pl.Element(w)),
+                        lambda i, j: (i, j * BH, 0, 0),
+                        memory_space=pltpu.VMEM)
+    gyk, sums, dk = pl.pallas_call(
+        functools.partial(_k_dw_bwd, bh=BH, H=H, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((n, nh * BH, c, w), jnp.float32),
+                   jax.ShapeDtypeStruct((n, c, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 128), jnp.float32)),
+        grid=(n, nh),
+        in_specs=[
+            halo, halo, halo,
+            pl.BlockSpec((c, 6), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 4), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 9), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BH, c, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(gyp, anp, akp, pn, bnk, k)
+    return gyk[:, :H], sums.sum(0)[:, :2], dk[:, :9]
+
+
+def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, eps, interpret):
+    """Stride-2 dw backward. gy/a_next (N,Hout,C,Wout); a_k (N,Hin,C,Win).
+    Returns (gy_k (N,Hin,C,Win) f32, sums (C,2), dk (C,9))."""
+    n, hout, c, wout = gy.shape
+    win = a_k.shape[3]
+    nh = pl.cdiv(hout, BH)
+    gyp = _pad_rows(gy[:, :hout], 0, nh * BH + 1)
+    anp = _pad_rows(a_next[:, :hout], 0, nh * BH + 1)
+    npairs = nh * BH
+    akr = _pad_rows(a_k[:, :Hin], 0, 2 * npairs).reshape(
+        n, npairs, 2, c, win)
+    akr = jnp.pad(akr, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    sf = [jnp.asarray(s) for s in _sel_matrices(win, wout)]
+    st = [jnp.asarray(np.ascontiguousarray(s.T))
+          for s in _sel_matrices(win, wout)]
+    halo_g = pl.BlockSpec((pl.Element(1), pl.Element(BH + 1), pl.Element(c),
+                           pl.Element(wout)),
+                          lambda i, j: (i, j * BH, 0, 0),
+                          memory_space=pltpu.VMEM)
+    gykp, sums, dk = pl.pallas_call(
+        functools.partial(_k_dw_s2_bwd, bh=BH, Hin=Hin, Hout=hout, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((n, npairs, 2, c, win), jnp.float32),
+                   jax.ShapeDtypeStruct((n, c, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 128), jnp.float32)),
+        grid=(n, nh),
+        in_specs=[
+            halo_g, halo_g,
+            pl.BlockSpec((pl.Element(1), pl.Element(BH + 1), pl.Element(2),
+                          pl.Element(c), pl.Element(win)),
+                         lambda i, j: (i, j * BH, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 6), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 4), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 9), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wout, win), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wout, win), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wout, win), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BH, 2, c, win), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(gyp, anp, akr[:, :npairs + 1], pn, bnk, k, *sf, *st)
+    gyk = gykp.reshape(n, 2 * npairs, c, win)[:, :Hin]
+    return gyk, sums.sum(0)[:, :2], dk[:, :9]
+
+
+# ---------------------------------------------------------------------------
+# public entry: fused f1+f2 with custom VJP
+# ---------------------------------------------------------------------------
+
+def _stem_fwd(a0n, p, eps, interpret):
+    a0 = jnp.transpose(a0n, (0, 1, 3, 2))           # NHWC -> NHCW
+    H = a0.shape[1]
+    dt = a0.dtype
+    m0, v0 = _run_stats(a0, H, interpret)
+    a1, m1, v1 = _run_bn_dw(a0, _bn_pack(m0, v0, p["g0"], p["b0"]),
+                            p["k1"], H, True, eps, interpret, dt)
+    a2, m2, v2 = _run_bn_pw(a1, _bn_pack(m1, v1, p["g1"], p["b1"]),
+                            p["w1"], H, True, eps, interpret, dt)
+    a3, m3, v3 = _run_bn_pw(a2, _bn_pack(m2, v2, p["g2"], p["b2"]),
+                            p["w2"], H, False, eps, interpret, dt)
+    a4, m4, v4 = _run_bn_dw_s2(a3, _bn_pack(m3, v3, p["g3"], p["b3"]),
+                               p["k2"], H, eps, interpret, dt)
+    H2 = (H + 1) // 2
+    a5, m5, v5 = _run_bn_pw(a4, _bn_pack(m4, v4, p["g4"], p["b4"]),
+                            p["w3"], H2, True, eps, interpret, dt)
+    inv5 = jax.lax.rsqrt(v5 + eps)
+    z2 = ((a5.astype(jnp.float32) - m5[None, None, :, None])
+          * (inv5 * p["g5"])[None, None, :, None]
+          + p["b5"][None, None, :, None])
+    out = jnp.transpose(z2.astype(dt), (0, 1, 3, 2))     # NHCW -> NHWC
+    stats = ((m0, v0), (m1, v1), (m2, v2), (m3, v3), (m4, v4), (m5, v5))
+    acts = (a0, a1, a2, a3, a4, a5)
+    return out, stats, acts
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_stem_f1f2(a0_nhwc, params, eps: float = 1e-5,
+                    interpret: bool = False):
+    """MobileNetV2 features[1..2] (IR t=1 + IR t=6 s2), training mode, fused.
+
+    a0_nhwc: conv-stem output PRE-BN, (N, H, W, 32). params dict:
+      k1 (32,9) dw kernel [dh*3+dw]; w1 (16,32), w2 (96,16), w3 (24,96)
+      pointwise [Co,Ci]; k2 (96,9) stride-2 dw; g*/b* the six BN affine
+      pairs (bn0=stem bn .. bn5=f2.pw_bn).
+    Returns (f2 output (N, H', W', 24), tuple of 6 (batch_mean, batch_var)).
+    """
+    out, stats, _ = _stem_fwd(a0_nhwc, params, eps, interpret)
+    return out, stats
+
+
+def _stem_fwd_rule(a0n, p, eps, interpret):
+    out, stats, acts = _stem_fwd(a0n, p, eps, interpret)
+    return (out, stats), (p, stats, acts)
+
+
+def _stem_bwd_rule(eps, interpret, res, cts):
+    p, stats, acts = res
+    g_out = cts[0]                                   # stats cotangents unused
+    a0, a1, a2, a3, a4, a5 = acts
+    dt = a0.dtype
+    (m0, v0), (m1, v1), (m2, v2), (m3, v3), (m4, v4), (m5, v5) = stats
+    n, H = a0.shape[0], a0.shape[1]
+    W = a0.shape[3]
+    H2, W2 = a5.shape[1], a5.shape[3]
+
+    # bn5 backward in XLA (small tensor, needs global sums first)
+    gz = jnp.transpose(g_out, (0, 1, 3, 2)).astype(jnp.float32)
+    inv5 = jax.lax.rsqrt(v5 + eps)
+    xh5 = (a5.astype(jnp.float32) - m5[None, None, :, None]) \
+        * inv5[None, None, :, None]
+    M5 = float(n * H2 * W2)
+    sg5 = gz.sum(axis=(0, 1, 3))
+    sgx5 = (gz * xh5).sum(axis=(0, 1, 3))
+    ga5 = (p["g5"] * inv5)[None, None, :, None] * (
+        gz - (sg5 / M5)[None, None, :, None]
+        - xh5 * (sgx5 / M5)[None, None, :, None])
+
+    # pw3 link (bn4 relu6 -> pw3): first pass takes g_a directly
+    pn_id = _bnbwd_identity(ga5.shape[2])
+    bn4 = _bn_pack(m4, v4, p["g4"], p["b4"])
+    gy4, s4, dW3 = _run_pw_bwd(ga5, a5, a4, pn_id, bn4, p["w3"],
+                               H2, True, eps, interpret)
+
+    # dw2 stride-2 link (bn3 relu6 -> dw s2)
+    pn4 = _bnbwd_pack(m4, v4, p["g4"], s4[:, 0], s4[:, 1],
+                      float(n * H2 * W2))
+    bn3 = _bn_pack(m3, v3, p["g3"], p["b3"])
+    gy3, s3, dk2 = _run_dw_s2_bwd(gy4, a4, a3, pn4, bn3, p["k2"],
+                                  H, eps, interpret)
+
+    # pw2 link (bn2 -> pw2)
+    pn3 = _bnbwd_pack(m3, v3, p["g3"], s3[:, 0], s3[:, 1], float(n * H * W))
+    bn2 = _bn_pack(m2, v2, p["g2"], p["b2"])
+    gy2, s2, dW2 = _run_pw_bwd(gy3, a3, a2, pn3, bn2, p["w2"],
+                               H, False, eps, interpret)
+
+    # pw1 link (bn1 relu6 -> pw1)
+    pn2 = _bnbwd_pack(m2, v2, p["g2"], s2[:, 0], s2[:, 1], float(n * H * W))
+    bn1 = _bn_pack(m1, v1, p["g1"], p["b1"])
+    gy1, s1, dW1 = _run_pw_bwd(gy2, a2, a1, pn2, bn1, p["w1"],
+                               H, True, eps, interpret)
+
+    # dw1 link (bn0 relu6 -> dw1)
+    pn1 = _bnbwd_pack(m1, v1, p["g1"], s1[:, 0], s1[:, 1], float(n * H * W))
+    bn0 = _bn_pack(m0, v0, p["g0"], p["b0"])
+    gy0, s0, dk1 = _run_dw_bwd(gy1, a1, a0, pn1, bn0, p["k1"],
+                               H, eps, interpret)
+
+    # bn0 backward in XLA
+    inv0 = jax.lax.rsqrt(v0 + eps)
+    xh0 = (a0.astype(jnp.float32) - m0[None, None, :, None]) \
+        * inv0[None, None, :, None]
+    M0 = float(n * H * W)
+    ga0 = (p["g0"] * inv0)[None, None, :, None] * (
+        gy0 - (s0[:, 0] / M0)[None, None, :, None]
+        - xh0 * (s0[:, 1] / M0)[None, None, :, None])
+    da0n = jnp.transpose(ga0, (0, 1, 3, 2)).astype(dt)
+
+    dp = {
+        "k1": dk1.astype(p["k1"].dtype), "k2": dk2.astype(p["k2"].dtype),
+        "w1": dW1.astype(p["w1"].dtype), "w2": dW2.astype(p["w2"].dtype),
+        "w3": dW3.astype(p["w3"].dtype),
+        "g0": s0[:, 1].astype(p["g0"].dtype),
+        "b0": s0[:, 0].astype(p["b0"].dtype),
+        "g1": s1[:, 1].astype(p["g1"].dtype),
+        "b1": s1[:, 0].astype(p["b1"].dtype),
+        "g2": s2[:, 1].astype(p["g2"].dtype),
+        "b2": s2[:, 0].astype(p["b2"].dtype),
+        "g3": s3[:, 1].astype(p["g3"].dtype),
+        "b3": s3[:, 0].astype(p["b3"].dtype),
+        "g4": s4[:, 1].astype(p["g4"].dtype),
+        "b4": s4[:, 0].astype(p["b4"].dtype),
+        "g5": sgx5.astype(p["g5"].dtype),
+        "b5": sg5.astype(p["b5"].dtype),
+    }
+    return da0n, dp
+
+
+fused_stem_f1f2.defvjp(_stem_fwd_rule, _stem_bwd_rule)
