@@ -52,12 +52,12 @@ def fuse_upsample_into_loss_enabled() -> bool:
 
 
 # Fused Pallas MobileNetV2 stem (ops.pallas.stem): runs features[1..2] as
-# channel-sublane Pallas passes in training mode. Measured SLOWER in v1
-# (81.2 vs 72.1ms at b16/513²: the XLA pad/slice/transpose glue at every
-# pass boundary costs more HBM traffic than the layout saves — profiled
-# round 2). Opt-in while the padded-layout refactor lands.
-# Env: KDCC_PALLAS_STEM=0/1.
-use_pallas_stem: bool | None = False
+# channel-sublane Pallas passes in training mode. v2 (uniform padded
+# layout, zero XLA glue between passes) measured 68.6ms vs 72.1 at
+# b16/513² (222 -> 233 img/s). None = auto: on for single-device TPU
+# (the stem kernels have no shard_map wrapper yet — multi-device uses the
+# stock XLA path). Env: KDCC_PALLAS_STEM=0/1.
+use_pallas_stem: bool | None = None
 
 
 def pallas_stem_enabled() -> bool:
@@ -69,7 +69,8 @@ def pallas_stem_enabled() -> bool:
     try:
         import jax
 
-        return jax.default_backend() in ("tpu", "axon")
+        return (jax.default_backend() in ("tpu", "axon")
+                and jax.device_count() == 1)
     except Exception:
         return False
 

@@ -138,14 +138,26 @@ class MobileNetV2(nnx.Module):
             return False
 
     def _call_fused_stem(self, x):
-        """features[0].conv in XLA, features[1..2] via the fused Pallas stem
-        (ops.pallas.stem — see its docstring for the why), then running-stat
-        updates with each BN's own momentum, exactly like nnx.BatchNorm."""
+        """features[0].conv in XLA — emitting the channel-sublane (N,H,C,W)
+        layout straight from the conv via dimension_numbers, so no transpose
+        pass — then features[1..2] via the fused Pallas stem (ops.pallas.stem,
+        see its docstring for the why), then running-stat updates with each
+        BN's own momentum, exactly like nnx.BatchNorm."""
+        import jax.lax as lax
+
         from .. import config
         from ..ops.pallas.stem import fused_stem_f1f2
 
         f0, f1, f2 = self.features[0], self.features[1], self.features[2]
-        a0 = f0.conv(x)
+        w0 = f0.conv.kernel.value
+        if f0.conv.dtype is not None:
+            x = x.astype(f0.conv.dtype)
+            w0 = w0.astype(f0.conv.dtype)
+        ph, pw_ = f0.conv.padding
+        a0 = lax.conv_general_dilated(
+            x, w0, window_strides=f0.conv.stride,
+            padding=[(ph, ph), (pw_, pw_)],
+            dimension_numbers=("NHWC", "HWIO", "NHCW"))
         dw = lambda kv: kv[:, :, 0, :].transpose(2, 0, 1).reshape(
             kv.shape[3], 9)
         pw = lambda kv: kv[0, 0].T

@@ -21,8 +21,18 @@ where the reference has one, one conv, and accumulates the NEXT BN's batch
 moments on the fly — so every BN barrier costs exactly one read+write of one
 unpadded tensor.
 
+All inter-pass tensors live in ONE uniform padded row layout
+(N, PAD + ceil/BH blocks, C, W): valid rows start at row PAD (= 2 BH
+blocks, so blocked output specs stay block-aligned and the stride-2
+pair view (N, R/2, 2, C, W) — a free bitcast — starts at pair block 1).
+Passes read/write that layout directly (blocked or Element specs with a
+PAD offset), so there is NO XLA pad/slice/copy between passes — the v1
+implementation lost 13+ ms/step to exactly that glue. Rows outside the
+written region are uninitialized; every halo read is where()-masked (not
+multiplied) so NaN/inf garbage cannot propagate.
+
 Stride-2 tricks (no strided lane/sublane access needed):
-  * H stride 2: tensors are viewed as (N, H/2, 2, C, W) — row pairs are a
+  * H stride 2: tensors are viewed as (N, R/2, 2, C, W) — row pairs are a
     free reshape of the same memory, so taps 2r-1 / 2r / 2r+1 are plain
     major-dim slices.
   * W stride 2: the lane contraction out[w'] = sum_dw k*x[2w'+dw-1] is a
@@ -33,7 +43,8 @@ Backward mirrors the passes in reverse: each bwd pass recomputes the needed
 activations from the saved pre-BN conv outputs, applies the analytic
 train-mode BN backward (which needs per-channel sums of g and g*xhat —
 accumulated by the *previous* bwd pass), the conv transpose, and the conv
-weight gradients (revisited-output accumulators).
+weight gradients (revisited-output accumulators). Activation gradients
+between passes are stored in the activation dtype (bf16 on TPU).
 
 Reference semantics: torchvision-scheme MobileNetV2 InvertedResidual
 (SURVEY.md §2.1); numerics pinned against the plain NNX module path by
@@ -50,7 +61,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BH = 8  # output rows per grid cell (major dim — no tiling constraint)
+import os
+
+BH = int(os.environ.get("KDCC_STEM_BH", "16"))  # output rows per grid cell
+_CP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+PAD = 2 * BH  # top pad rows: 2 BH blocks; PAD//2 = BH = 1 pair block
+
+
+def _geom(H: int):
+    """Row geometry: (nh, H2, nh2, R, R2) for the uniform padded layout."""
+    nh = pl.cdiv(H, BH)
+    H2 = (H + 1) // 2
+    nh2 = pl.cdiv(H2, BH)
+    # full-res arrays must hold: stride-1 halos (nh*BH + 1 bottom row) and
+    # the stride-2 pair-view window (pairs up to PAD//2 + nh2*BH + 1)
+    need = max(nh * BH + 2, 2 * (nh2 * BH + 1))
+    R = PAD + pl.cdiv(need, BH) * BH
+    R2 = PAD + (pl.cdiv(nh2 * BH + 2, BH)) * BH
+    return nh, H2, nh2, R, R2
 
 
 # ---------------------------------------------------------------------------
@@ -81,16 +109,23 @@ def _bn_apply(x, bn, relu, eps):
     return jnp.clip(u, 0.0, 6.0) if relu else u
 
 
-def _row_mask(nrows, C, W, j, bh, first_global, H):
-    """(nrows,1,1) f32 mask of rows whose GLOBAL index is inside [0, H)."""
+def _rows_in(nrows, j, bh, first_global, H):
+    """(nrows,1,1) bool: rows whose GLOBAL index is inside [0, H)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1, 1), 0)
     gr = r + j * bh + first_global
-    return ((gr >= 0) & (gr < H)).astype(jnp.float32)
+    return (gr >= 0) & (gr < H)
+
+
+def _mask_rows(x, j, bh, first_global, H):
+    """Zero rows outside [0, H) with where() — halo reads may contain
+    uninitialized garbage (NaN/inf), so multiplication is not enough."""
+    return jnp.where(_rows_in(x.shape[0], j, bh, first_global, H), x, 0.0)
 
 
 def _stats_tile(y, mask, C):
-    """Per-channel [sum, sumsq] packed in a (C, 128) tile (cols 0/1)."""
-    ym = y * mask
+    """Per-channel [sum, sumsq] packed in a (C, 128) tile (cols 0/1).
+    y must already be garbage-free; mask zeroes rows beyond H."""
+    ym = jnp.where(mask, y, 0.0)
     s = jnp.sum(ym, axis=(0, 2))
     s2 = jnp.sum(ym * ym, axis=(0, 2))
     col = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
@@ -138,39 +173,33 @@ def _dw_taps(h, k, bh, W, flip=False):
 # forward kernels
 # ---------------------------------------------------------------------------
 
-def _k_stats(x_ref, s_ref, *, bh, H):
-    """Batch moments of a (N,H,C,W) tensor: per-C [sum, sumsq]."""
-    j = pl.program_id(1)
-    x = x_ref[0].astype(jnp.float32)
-    m = _row_mask(bh, x.shape[1], x.shape[2], j, bh, 0, H)
-    _accum(s_ref, j, _stats_tile(x, m, x.shape[1]))
-
-
 def _k_bn_dw(x_ref, bn_ref, k_ref, y_ref, s_ref, *, bh, H, relu, eps):
     """bn(+relu6) -> depthwise 3x3 s1 -> y + next-BN moments.
     x block (1, bh+2, C, W) halo rows starting at global j*bh-1."""
     j = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)
     h = _bn_apply(x, bn_ref[...].astype(jnp.float32), relu, eps)
-    h = h * _row_mask(bh + 2, 0, 0, j, bh, -1, H)   # conv zero-padding
+    h = _mask_rows(h, j, bh, -1, H)              # conv zero-pad + garbage
     y = _dw_taps(h, k_ref[...].astype(jnp.float32), bh, x.shape[2])
     y_ref[0] = y.astype(y_ref.dtype)
-    m = _row_mask(bh, 0, 0, j, bh, 0, H)
+    m = _rows_in(bh, j, bh, 0, H)
     _accum(s_ref, j, _stats_tile(y, m, y.shape[1]))
 
 
 def _k_bn_pw(x_ref, bn_ref, w_ref, y_ref, s_ref, *, bh, H, relu, eps):
     """bn(+relu6 opt) -> pointwise (Ci->Co) -> y + next-BN moments.
-    x block (1, bh, Ci, W); w (Co, Ci)."""
+    x block (1, bh, Ci, W); w (Co, Ci). x rows are always producer-written
+    (zeros beyond H), so no where-masking needed before the matmul."""
     j = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)
     h = _bn_apply(x, bn_ref[...].astype(jnp.float32), relu, eps)
+    h = _mask_rows(h, j, bh, 0, H)
     w = w_ref[...].astype(jnp.float32)
     rows = [jnp.dot(w, h[r], preferred_element_type=jnp.float32)
             for r in range(bh)]
     y = jnp.stack(rows, axis=0)                      # (bh, Co, W)
     y_ref[0] = y.astype(y_ref.dtype)
-    m = _row_mask(bh, 0, 0, j, bh, 0, H)
+    m = _rows_in(bh, j, bh, 0, H)
     _accum(s_ref, j, _stats_tile(y, m, y.shape[1]))
 
 
@@ -178,10 +207,10 @@ def _k_bn_dw_s2(xp_ref, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
                 y_ref, st_ref, *, bh, Hin, Hout, eps):
     """bn+relu6 -> depthwise 3x3 STRIDE-2 -> y (Hout=Hin//2+..) + moments.
 
-    xp block (1, bh+1, 2, C, Win): row PAIRS of the (N, ceil/2, 2, C, W)
-    view, starting at global pair j*bh-1 (pair-padded by 1 at top). Output
-    row r (global R=j*bh+r) taps input rows 2R-1,2R,2R+1 = pairs
-    (R-1,1),(R,0),(R,1). W stride-2 via the selection matmuls s0/s1/s2.
+    xp block (1, bh+1, 2, C, Win): row PAIRS of the (N, R/2, 2, C, W)
+    view, starting at global pair j*bh-1. Output row r (global R=j*bh+r)
+    taps input rows 2R-1,2R,2R+1 = pairs (R-1,1),(R,0),(R,1). W stride-2
+    via the selection matmuls s0/s1/s2.
     """
     j = pl.program_id(1)
     xp = xp_ref[0].astype(jnp.float32)               # (bh+1, 2, C, Win)
@@ -190,7 +219,6 @@ def _k_bn_dw_s2(xp_ref, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
     k = k_ref[...].astype(jnp.float32)               # (C, 9)
 
     taps_rows = []
-    first_globals = []
     for dh in range(3):
         if dh == 0:
             rows = xp[0:bh, 1]                       # global row 2R-1
@@ -199,17 +227,16 @@ def _k_bn_dw_s2(xp_ref, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
             rows = xp[1:bh + 1, dh - 1]              # 2R (dh=1) / 2R+1 (dh=2)
             first = dh - 1
         taps_rows.append((rows, first))
-        first_globals.append(first)
 
     sels = [s0_ref[...], s1_ref[...], s2_ref[...]]   # (Win, Wout) f32
     Wout = sels[0].shape[1]
     acc = jnp.zeros((bh, C, Wout), jnp.float32)
     for dh, (rows, first) in enumerate(taps_rows):
         h = _bn_apply(rows, bn, True, eps)
-        # zero the conv padding: global input row = 2*(j*bh + r) + first
+        # zero conv padding + garbage: global input row = 2*(j*bh+r)+first
         r = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
         gr = 2 * (r + j * bh) + first
-        h = h * ((gr >= 0) & (gr < Hin)).astype(jnp.float32)
+        h = jnp.where((gr >= 0) & (gr < Hin), h, 0.0)
         flat = h.reshape(bh * C, h.shape[2])
         for dw in range(3):
             tap = jnp.dot(flat, sels[dw],
@@ -217,19 +244,14 @@ def _k_bn_dw_s2(xp_ref, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
             tap = tap.reshape(bh, C, Wout)
             acc = acc + tap * k[:, dh * 3 + dw:dh * 3 + dw + 1][None]
     y_ref[0] = acc.astype(y_ref.dtype)
-    m = _row_mask(bh, 0, 0, j, bh, 0, Hout)
+    m = _rows_in(bh, j, bh, 0, Hout)
     _accum(st_ref, j, _stats_tile(acc, m, C))
 
 
 # ---------------------------------------------------------------------------
-# forward pass drivers
+# forward pass drivers — all operate on the uniform padded layout
+# (N, R, C, W) with valid data at rows [PAD, PAD+H).
 # ---------------------------------------------------------------------------
-
-def _pad_rows(x, top: int, total: int):
-    """Pad the H (axis 1) dim: `top` zeros before, to `total` rows."""
-    return jnp.pad(x, ((0, 0), (top, total - x.shape[1] - top),
-                       (0, 0), (0, 0)))
-
 
 def _bn_pack(mean, var, gamma, beta):
     return jnp.stack([mean, var, gamma, beta], axis=1).astype(jnp.float32)
@@ -243,130 +265,96 @@ def _moments(sums, count):
     return mean, var
 
 
-def _run_stats(x, H, interpret):
-    n, _, c, w = x.shape
-    nh = pl.cdiv(H, BH)
-    xp = _pad_rows(x, 0, nh * BH)
-    sums = pl.pallas_call(
-        functools.partial(_k_stats, bh=BH, H=H),
-        out_shape=jax.ShapeDtypeStruct((n, c, 128), jnp.float32),
-        grid=(n, nh),
-        in_specs=[pl.BlockSpec((1, BH, c, w), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(xp)
-    return _moments(sums, float(x.shape[0] * H * w))
+def _blk(c, w, off=PAD // BH):
+    """Standard blocked (1, BH, c, w) spec with the PAD block offset."""
+    return pl.BlockSpec((1, BH, c, w), lambda i, j, off=off: (i, j + off, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _halo(c, w):
+    """Element (1, BH+2, c, w) halo spec starting at global row j*BH-1."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(BH + 2), pl.Element(c), pl.Element(w)),
+        lambda i, j: (i, PAD + j * BH - 1, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+def _const(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i, j: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _stats_out(c):
+    return pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _run_bn_dw(x, bn, k, H, relu, eps, interpret, out_dtype):
-    """x (N,H,C,W) pre-BN; returns (y (N,H,C,W), mean, var of y)."""
-    n, _, c, w = x.shape
+    """x (N,R,C,W) padded pre-BN; returns (y padded, mean, var of y)."""
+    n, R, c, w = x.shape
     nh = pl.cdiv(H, BH)
-    xp = _pad_rows(x[:, :H], 1, nh * BH + 2)
     y, sums = pl.pallas_call(
         functools.partial(_k_bn_dw, bh=BH, H=H, relu=relu, eps=eps),
-        out_shape=(jax.ShapeDtypeStruct((n, nh * BH, c, w), out_dtype),
+        out_shape=(jax.ShapeDtypeStruct((n, R, c, w), out_dtype),
                    jax.ShapeDtypeStruct((n, c, 128), jnp.float32)),
         grid=(n, nh),
-        in_specs=[
-            pl.BlockSpec((pl.Element(1), pl.Element(BH + 2), pl.Element(c),
-                          pl.Element(w)),
-                         lambda i, j: (i, j * BH, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 4), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 9), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, BH, c, w), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=[_halo(c, w), _const((c, 4)), _const((c, 9))],
+        out_specs=(_blk(c, w), _stats_out(c)),
         interpret=interpret,
-    )(xp, bn, k)
+        compiler_params=_CP,
+    )(x, bn, k)
     mean, var = _moments(sums, float(n * H * w))
-    return y[:, :H], mean, var
+    return y, mean, var
 
 
 def _run_bn_pw(x, bn, w2, H, relu, eps, interpret, out_dtype):
-    """x (N,H,Ci,W); w2 (Co,Ci); returns (y (N,H,Co,W), mean, var)."""
-    n, _, ci, w = x.shape
+    """x (N,R,Ci,W) padded; w2 (Co,Ci); returns (y padded, mean, var)."""
+    n, R, ci, w = x.shape
     co = w2.shape[0]
     nh = pl.cdiv(H, BH)
-    xp = _pad_rows(x[:, :H], 0, nh * BH)
     y, sums = pl.pallas_call(
         functools.partial(_k_bn_pw, bh=BH, H=H, relu=relu, eps=eps),
-        out_shape=(jax.ShapeDtypeStruct((n, nh * BH, co, w), out_dtype),
+        out_shape=(jax.ShapeDtypeStruct((n, R, co, w), out_dtype),
                    jax.ShapeDtypeStruct((n, co, 128), jnp.float32)),
         grid=(n, nh),
-        in_specs=[
-            pl.BlockSpec((1, BH, ci, w), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ci, 4), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, ci), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, BH, co, w), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co, 128), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=[_blk(ci, w), _const((ci, 4)), _const((co, ci))],
+        out_specs=(_blk(co, w), _stats_out(co)),
         interpret=interpret,
-    )(xp, bn, w2)
+        compiler_params=_CP,
+    )(x, bn, w2)
     mean, var = _moments(sums, float(n * H * w))
-    return y[:, :H], mean, var
+    return y, mean, var
 
 
-def _run_bn_dw_s2(x, bn, k, Hin, eps, interpret, out_dtype):
-    """x (N,Hin,C,Win) pre-BN; stride-2 dw; returns (y (N,Hout,C,Wout),
-    mean, var). Hout = (Hin+1)//2, Wout = (Win+1)//2 (pad-1 semantics)."""
-    n, _, c, win = x.shape
+def _run_bn_dw_s2(x, bn, k, Hin, R2, eps, interpret, out_dtype):
+    """x (N,R,C,Win) padded pre-BN; stride-2 dw; returns (y (N,R2,C,Wout)
+    padded, mean, var). Hout = (Hin+1)//2, Wout = (Win+1)//2 (pad-1)."""
+    n, R, c, win = x.shape
     hout = (Hin + 1) // 2
     wout = (win + 1) // 2
     nh = pl.cdiv(hout, BH)
-    # (N, P, 2, C, W) pair view over H padded to even >= 2*nh*BH (+pad pair)
-    npairs = nh * BH
-    xr = _pad_rows(x[:, :Hin], 0, 2 * npairs)
-    xp = xr.reshape(n, npairs, 2, c, win)
-    xp = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    xp = x.reshape(n, R // 2, 2, c, win)             # free pair-view bitcast
     sels = [jnp.asarray(s) for s in _sel_matrices(win, wout)]
+    pair_halo = pl.BlockSpec(
+        (pl.Element(1), pl.Element(BH + 1), pl.Element(2), pl.Element(c),
+         pl.Element(win)),
+        lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0, 0),
+        memory_space=pltpu.VMEM)
     y, sums = pl.pallas_call(
         functools.partial(_k_bn_dw_s2, bh=BH, Hin=Hin, Hout=hout, eps=eps),
-        out_shape=(jax.ShapeDtypeStruct((n, nh * BH, c, wout), out_dtype),
+        out_shape=(jax.ShapeDtypeStruct((n, R2, c, wout), out_dtype),
                    jax.ShapeDtypeStruct((n, c, 128), jnp.float32)),
         grid=(n, nh),
-        in_specs=[
-            pl.BlockSpec((pl.Element(1), pl.Element(BH + 1), pl.Element(2),
-                          pl.Element(c), pl.Element(win)),
-                         lambda i, j: (i, j * BH, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 4), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 9), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, BH, c, wout), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=[pair_halo, _const((c, 4)), _const((c, 9)),
+                  _const((win, wout)), _const((win, wout)),
+                  _const((win, wout))],
+        out_specs=(_blk(c, wout), _stats_out(c)),
         interpret=interpret,
+        compiler_params=_CP,
     )(xp, bn, k, *sels)
     mean, var = _moments(sums, float(n * hout * wout))
-    return y[:, :hout], mean, var
+    return y, mean, var
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +418,8 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
     """Backward over [bn_k(+relu_k) -> pw -> a_next] given gy_next.
 
     gy (1,bh,Co,W); a_next (1,bh,Co,W); a_k (1,bh,Ci,W); pn (Co,6) next-BN
-    backward params/totals; bnk (Ci,4); wt = W^T (Ci,Co).
+    backward params/totals; bnk (Ci,4); wt = W^T (Ci,Co). All blocked reads
+    — rows beyond H are producer-written zeros, never garbage.
     Outputs: gy_k (1,bh,Ci,W); sums (1,Ci,128) per-image accum;
     dw (Co,Ci) global accum.
     """
@@ -438,12 +427,15 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
     gy = gy_ref[0].astype(jnp.float32)
     an = an_ref[0].astype(jnp.float32)
     ak = ak_ref[0].astype(jnp.float32)
+    m = _rows_in(bh, j, bh, 0, H)
     ga = _bn_bwd_apply(gy, an, pn_ref[...].astype(jnp.float32), eps)
-    ga = ga * _row_mask(bh, 0, 0, j, bh, 0, H)
+    ga = jnp.where(m, ga, 0.0)
 
     bnk = bnk_ref[...].astype(jnp.float32)
     u, xh = _bn_u_xh(ak, bnk, eps)
     z = jnp.clip(u, 0.0, 6.0) if relu_k else u
+    z = jnp.where(m, z, 0.0)
+    xh = jnp.where(m, xh, 0.0)
 
     wt = wt_ref[...].astype(jnp.float32)            # (Ci, Co)
     dims = (((1,), (1,)), ((), ()))                 # contract W
@@ -459,6 +451,7 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
         gu = gz * ((u > 0.0) & (u < 6.0)).astype(jnp.float32)
     else:
         gu = gz
+    gu = jnp.where(m, gu, 0.0)
     gyk_ref[0] = gu.astype(gyk_ref.dtype)
     _accum(sums_ref, j, _grad_sums_tile(gu, xh, gu.shape[1]))
     _accum_global(dw_ref, i, j, dw_tile)
@@ -469,7 +462,8 @@ def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
     """Backward over [bn_k(relu6) -> dw3x3 s1 -> a_next] given gy_next.
 
     gy/a_next halo blocks (1,bh+2,C,W) (transpose-conv needs g halos; the
-    weight grad needs h halos); a_k halo (1,bh+2,C,W).
+    weight grad needs h halos); a_k halo (1,bh+2,C,W). Halo rows may be
+    uninitialized — everything derived from them is where()-masked.
     Outputs gy_k (1,bh,C,W), sums, dk (C, 128) cols 0..8 global accum.
     """
     i, j = pl.program_id(0), pl.program_id(1)
@@ -478,14 +472,14 @@ def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
     ak = ak_ref[0].astype(jnp.float32)
     C, W = gy.shape[1], gy.shape[2]
     pn = pn_ref[...].astype(jnp.float32)
+    mh = _rows_in(bh + 2, j, bh, -1, H)
     ga = _bn_bwd_apply(gy, an, pn, eps)             # (bh+2, C, W)
-    ga = ga * _row_mask(bh + 2, 0, 0, j, bh, -1, H)
+    ga = jnp.where(mh, ga, 0.0)
 
     bnk = bnk_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)              # (C, 9)
     u, xh = _bn_u_xh(ak, bnk, eps)
-    h = jnp.clip(u, 0.0, 6.0)
-    h = h * _row_mask(bh + 2, 0, 0, j, bh, -1, H)
+    h = jnp.where(mh, jnp.clip(u, 0.0, 6.0), 0.0)
 
     # transpose conv: gh[h,w] = sum K[dh,dw] * ga[h-dh+1, w-dw+1]
     # == dw-conv of ga with the spatially flipped kernel
@@ -513,15 +507,16 @@ def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
     for t in range(9):
         dk_tile += jnp.where(col == t, cols[t][:, None], 0.0)
 
-    u_c, xh_c = u[1:1 + bh], xh[1:1 + bh]
+    m = _rows_in(bh, j, bh, 0, H)
+    u_c = u[1:1 + bh]
+    xh_c = jnp.where(m, xh[1:1 + bh], 0.0)
     gu = gh * ((u_c > 0.0) & (u_c < 6.0)).astype(jnp.float32)
     # zero padded rows: gh taps reach real ga rows from beyond H, and the
     # garbage would pollute the per-channel sums
-    gu = gu * _row_mask(bh, 0, 0, j, bh, 0, H)
+    gu = jnp.where(m, gu, 0.0)
     gyk_ref[0] = gu.astype(gyk_ref.dtype)
     _accum(sums_ref, j, _grad_sums_tile(gu, xh_c, C))
     _accum_global(dk_ref, i, j, dk_tile)
-
 
 
 def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
@@ -533,7 +528,7 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
       gy / a_next: (1, bh+1, C, Wout) Element rows starting j*bh (one halo
         row at the bottom for the dh=0 contribution of g[m+1]);
       a_k: PAIR-VIEW halo (1, bh+1, 2, C, Win) Element pairs starting
-        j*bh in the top-padded pair array (same window as the fwd kernel).
+        j*bh-1 global (same window as the fwd kernel).
     sf* = S_dw (Win, Wout) fwd selection; st* = S_dw^T (Wout, Win).
     gy_k written in PAIR VIEW (1, bh, 2, C, Win): pair m holds rows
     (2m, 2m+1) — even from g[m] (dh=1 weights), odd from g[m] (dh=2) +
@@ -549,9 +544,9 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
     bnk = bnk_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)              # (C, 9)
 
+    mg = _rows_in(bh + 1, j, bh, 0, Hout)
     ga = _bn_bwd_apply(gy, an, pn, eps)             # (bh+1, C, Wout)
-    r = jax.lax.broadcasted_iota(jnp.int32, (bh + 1, 1, 1), 0)
-    ga = ga * ((r + j * bh) < Hout).astype(jnp.float32)
+    ga = jnp.where(mg, ga, 0.0)
 
     sts = [st0_ref[...], st1_ref[...], st2_ref[...]]
     sfs = [sf0_ref[...], sf1_ref[...], sf2_ref[...]]
@@ -577,10 +572,12 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
     u_e, xh_e = _bn_u_xh(a_even, bnk, eps)
     u_o, xh_o = _bn_u_xh(a_odd, bnk, eps)
     re = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0) + j * bh
-    m_e = ((2 * re) < Hin).astype(jnp.float32)
-    m_o = ((2 * re + 1) < Hin).astype(jnp.float32)
-    gu_e = even * ((u_e > 0.0) & (u_e < 6.0)).astype(jnp.float32) * m_e
-    gu_o = odd * ((u_o > 0.0) & (u_o < 6.0)).astype(jnp.float32) * m_o
+    m_e = (2 * re) < Hin
+    m_o = (2 * re + 1) < Hin
+    gu_e = jnp.where(m_e, even * ((u_e > 0.0) & (u_e < 6.0)), 0.0)
+    gu_o = jnp.where(m_o, odd * ((u_o > 0.0) & (u_o < 6.0)), 0.0)
+    xh_e = jnp.where(m_e, xh_e, 0.0)
+    xh_o = jnp.where(m_o, xh_o, 0.0)
     gyk_ref[0, :, 0] = gu_e.astype(gyk_ref.dtype)
     gyk_ref[0, :, 1] = gu_o.astype(gyk_ref.dtype)
     _accum(sums_ref, j,
@@ -597,10 +594,10 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
         else:
             rows, first = akp[1:bh + 1, dh - 1], dh - 1
         uu, _ = _bn_u_xh(rows, bnk, eps)
-        hh = jnp.clip(uu, 0.0, 6.0)
         rr = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
         gr = 2 * (rr + j * bh) + first
-        hh = hh * ((gr >= 0) & (gr < Hin)).astype(jnp.float32)
+        hh = jnp.where((gr >= 0) & (gr < Hin),
+                       jnp.clip(uu, 0.0, 6.0), 0.0)
         flat = hh.reshape(bh * C, Win)
         for dw in range(3):
             tap = jnp.dot(flat, sfs[dw], preferred_element_type=jnp.float32)
@@ -611,7 +608,7 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
 
 
 # ---------------------------------------------------------------------------
-# backward pass drivers
+# backward pass drivers — padded layout in and out, grads in `gdt` dtype
 # ---------------------------------------------------------------------------
 
 def _bnbwd_pack(mean, var, gamma, sum_g, sum_gx, count):
@@ -626,149 +623,100 @@ def _bnbwd_identity(c):
     return jnp.stack([z, 1.0 - 0.0 * z, 1.0 + 0.0 * z, z, z, z], axis=1)
 
 
-def _run_pw_bwd(gy, a_next, a_k, pn, bnk, w2, H, relu_k, eps, interpret):
-    """Returns (gy_k (N,H,Ci,W) f32, sums (Ci,2), dW (Co,Ci))."""
-    n, _, co, w = gy.shape
+def _run_pw_bwd(gy, a_next, a_k, pn, bnk, w2, H, relu_k, eps, interpret,
+                gdt):
+    """All arrays padded (N,R,·,W). Returns (gy_k padded, sums (Ci,2),
+    dW (Co,Ci))."""
+    n, R, co, w = gy.shape
     ci = a_k.shape[2]
     nh = pl.cdiv(H, BH)
-    gyp = _pad_rows(gy[:, :H], 0, nh * BH)
-    anp = _pad_rows(a_next[:, :H], 0, nh * BH)
-    akp = _pad_rows(a_k[:, :H], 0, nh * BH)
     wt = jnp.transpose(w2, (1, 0))                  # (Ci, Co)
     gyk, sums, dw = pl.pallas_call(
         functools.partial(_k_pw_bwd, bh=BH, H=H, relu_k=relu_k, eps=eps),
-        out_shape=(jax.ShapeDtypeStruct((n, nh * BH, ci, w), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n, R, ci, w), gdt),
                    jax.ShapeDtypeStruct((n, ci, 128), jnp.float32),
                    jax.ShapeDtypeStruct((co, ci), jnp.float32)),
         grid=(n, nh),
-        in_specs=[
-            pl.BlockSpec((1, BH, co, w), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BH, co, w), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BH, ci, w), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, 6), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ci, 4), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ci, co), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, BH, ci, w), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci, 128), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, ci), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=[_blk(co, w), _blk(co, w), _blk(ci, w),
+                  _const((co, 6)), _const((ci, 4)), _const((ci, co))],
+        out_specs=(_blk(ci, w), _stats_out(ci),
+                   pl.BlockSpec((co, ci), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(gyp, anp, akp, pn, bnk, wt)
+        compiler_params=_CP,
+    )(gy, a_next, a_k, pn, bnk, wt)
     s = sums.sum(0)[:, :2]
-    return gyk[:, :H], s, dw
+    return gyk, s, dw
 
 
-def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, eps, interpret):
-    """Stride-1 dw backward. Returns (gy_k, sums (C,2), dk (C,9))."""
-    n, _, c, w = gy.shape
+def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, eps, interpret, gdt):
+    """Stride-1 dw backward on padded arrays. Returns (gy_k padded,
+    sums (C,2), dk (C,9))."""
+    n, R, c, w = gy.shape
     nh = pl.cdiv(H, BH)
-    gyp = _pad_rows(gy[:, :H], 1, nh * BH + 2)
-    anp = _pad_rows(a_next[:, :H], 1, nh * BH + 2)
-    akp = _pad_rows(a_k[:, :H], 1, nh * BH + 2)
-    halo = pl.BlockSpec((pl.Element(1), pl.Element(BH + 2), pl.Element(c),
-                         pl.Element(w)),
-                        lambda i, j: (i, j * BH, 0, 0),
-                        memory_space=pltpu.VMEM)
     gyk, sums, dk = pl.pallas_call(
         functools.partial(_k_dw_bwd, bh=BH, H=H, eps=eps),
-        out_shape=(jax.ShapeDtypeStruct((n, nh * BH, c, w), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n, R, c, w), gdt),
                    jax.ShapeDtypeStruct((n, c, 128), jnp.float32),
                    jax.ShapeDtypeStruct((c, 128), jnp.float32)),
         grid=(n, nh),
-        in_specs=[
-            halo, halo, halo,
-            pl.BlockSpec((c, 6), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 4), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 9), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, BH, c, w), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 128), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=[_halo(c, w), _halo(c, w), _halo(c, w),
+                  _const((c, 6)), _const((c, 4)), _const((c, 9))],
+        out_specs=(_blk(c, w), _stats_out(c),
+                   pl.BlockSpec((c, 128), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(gyp, anp, akp, pn, bnk, k)
-    return gyk[:, :H], sums.sum(0)[:, :2], dk[:, :9]
+        compiler_params=_CP,
+    )(gy, a_next, a_k, pn, bnk, k)
+    return gyk, sums.sum(0)[:, :2], dk[:, :9]
 
 
-def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, eps, interpret):
-    """Stride-2 dw backward. gy/a_next (N,Hout,C,Wout); a_k (N,Hin,C,Win).
-    Returns (gy_k (N,Hin,C,Win) f32, sums (C,2), dk (C,9))."""
-    n, hout, c, wout = gy.shape
+def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, eps, interpret, gdt):
+    """Stride-2 dw backward. gy/a_next (N,R2,C,Wout) padded;
+    a_k (N,R,C,Win) padded. Returns (gy_k (N,R,C,Win) padded in pair-block
+    writes, sums (C,2), dk (C,9))."""
+    n, R2, c, wout = gy.shape
+    R = a_k.shape[1]
     win = a_k.shape[3]
+    hout = (Hin + 1) // 2
     nh = pl.cdiv(hout, BH)
-    gyp = _pad_rows(gy[:, :hout], 0, nh * BH + 1)
-    anp = _pad_rows(a_next[:, :hout], 0, nh * BH + 1)
-    npairs = nh * BH
-    akr = _pad_rows(a_k[:, :Hin], 0, 2 * npairs).reshape(
-        n, npairs, 2, c, win)
-    akr = jnp.pad(akr, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    akp = a_k.reshape(n, R // 2, 2, c, win)          # free pair-view bitcast
     sf = [jnp.asarray(s) for s in _sel_matrices(win, wout)]
     st = [jnp.asarray(np.ascontiguousarray(s.T))
           for s in _sel_matrices(win, wout)]
-    halo_g = pl.BlockSpec((pl.Element(1), pl.Element(BH + 1), pl.Element(c),
-                           pl.Element(wout)),
-                          lambda i, j: (i, j * BH, 0, 0),
-                          memory_space=pltpu.VMEM)
+    halo_g = pl.BlockSpec(
+        (pl.Element(1), pl.Element(BH + 1), pl.Element(c), pl.Element(wout)),
+        lambda i, j: (i, PAD + j * BH, 0, 0),
+        memory_space=pltpu.VMEM)
+    pair_halo = pl.BlockSpec(
+        (pl.Element(1), pl.Element(BH + 1), pl.Element(2), pl.Element(c),
+         pl.Element(win)),
+        lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0, 0),
+        memory_space=pltpu.VMEM)
     gykp, sums, dk = pl.pallas_call(
         functools.partial(_k_dw_s2_bwd, bh=BH, Hin=Hin, Hout=hout, eps=eps),
-        out_shape=(jax.ShapeDtypeStruct((n, npairs, 2, c, win), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n, R // 2, 2, c, win), gdt),
                    jax.ShapeDtypeStruct((n, c, 128), jnp.float32),
                    jax.ShapeDtypeStruct((c, 128), jnp.float32)),
         grid=(n, nh),
         in_specs=[
-            halo_g, halo_g,
-            pl.BlockSpec((pl.Element(1), pl.Element(BH + 1), pl.Element(2),
-                          pl.Element(c), pl.Element(win)),
-                         lambda i, j: (i, j * BH, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 6), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 4), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 9), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((win, wout), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((wout, win), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((wout, win), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((wout, win), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            halo_g, halo_g, pair_halo,
+            _const((c, 6)), _const((c, 4)), _const((c, 9)),
+            _const((win, wout)), _const((win, wout)), _const((win, wout)),
+            _const((wout, win)), _const((wout, win)), _const((wout, win)),
         ],
         out_specs=(
-            pl.BlockSpec((1, BH, 2, c, win), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, BH, 2, c, win),
+                         lambda i, j: (i, j + PAD // (2 * BH), 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 128), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _stats_out(c),
             pl.BlockSpec((c, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(gyp, anp, akr[:, :npairs + 1], pn, bnk, k, *sf, *st)
-    gyk = gykp.reshape(n, 2 * npairs, c, win)[:, :Hin]
+        compiler_params=_CP,
+    )(gy, a_next, akp, pn, bnk, k, *sf, *st)
+    gyk = gykp.reshape(n, R, c, win)                 # free bitcast back
     return gyk, sums.sum(0)[:, :2], dk[:, :9]
 
 
@@ -776,114 +724,127 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, eps, interpret):
 # public entry: fused f1+f2 with custom VJP
 # ---------------------------------------------------------------------------
 
-def _stem_fwd(a0n, p, eps, interpret):
-    a0 = jnp.transpose(a0n, (0, 1, 3, 2))           # NHWC -> NHCW
-    H = a0.shape[1]
+def _stem_fwd(a0, p, eps, interpret):
+    """a0: (N, H, C, W) channel-sublane, unpadded. Returns (out NHWC,
+    stats, padded residual activations)."""
+    n, H, c0, W = a0.shape
     dt = a0.dtype
-    m0, v0 = _run_stats(a0, H, interpret)
-    a1, m1, v1 = _run_bn_dw(a0, _bn_pack(m0, v0, p["g0"], p["b0"]),
+    nh, H2, nh2, R, R2 = _geom(H)
+    a0p = jnp.pad(a0, ((0, 0), (PAD, R - PAD - H), (0, 0), (0, 0)))
+    # bn0 batch moments in XLA — fuses with the producing conv epilogue
+    a0f = a0.astype(jnp.float32)
+    m0 = a0f.mean(axis=(0, 1, 3))
+    v0 = (a0f * a0f).mean(axis=(0, 1, 3)) - m0 * m0
+    a1, m1, v1 = _run_bn_dw(a0p, _bn_pack(m0, v0, p["g0"], p["b0"]),
                             p["k1"], H, True, eps, interpret, dt)
     a2, m2, v2 = _run_bn_pw(a1, _bn_pack(m1, v1, p["g1"], p["b1"]),
                             p["w1"], H, True, eps, interpret, dt)
     a3, m3, v3 = _run_bn_pw(a2, _bn_pack(m2, v2, p["g2"], p["b2"]),
                             p["w2"], H, False, eps, interpret, dt)
     a4, m4, v4 = _run_bn_dw_s2(a3, _bn_pack(m3, v3, p["g3"], p["b3"]),
-                               p["k2"], H, eps, interpret, dt)
-    H2 = (H + 1) // 2
+                               p["k2"], H, R2, eps, interpret, dt)
     a5, m5, v5 = _run_bn_pw(a4, _bn_pack(m4, v4, p["g4"], p["b4"]),
                             p["w3"], H2, True, eps, interpret, dt)
+    # final bn5 + layout exit in XLA (small half-res C=24 tensor)
+    a5v = a5[:, PAD:PAD + H2]
     inv5 = jax.lax.rsqrt(v5 + eps)
-    z2 = ((a5.astype(jnp.float32) - m5[None, None, :, None])
+    z2 = ((a5v.astype(jnp.float32) - m5[None, None, :, None])
           * (inv5 * p["g5"])[None, None, :, None]
           + p["b5"][None, None, :, None])
     out = jnp.transpose(z2.astype(dt), (0, 1, 3, 2))     # NHCW -> NHWC
     stats = ((m0, v0), (m1, v1), (m2, v2), (m3, v3), (m4, v4), (m5, v5))
-    acts = (a0, a1, a2, a3, a4, a5)
+    acts = (a0p, a1, a2, a3, a4, a5)
     return out, stats, acts
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_stem_f1f2(a0_nhwc, params, eps: float = 1e-5,
+def fused_stem_f1f2(a0, params, eps: float = 1e-5,
                     interpret: bool = False):
     """MobileNetV2 features[1..2] (IR t=1 + IR t=6 s2), training mode, fused.
 
-    a0_nhwc: conv-stem output PRE-BN, (N, H, W, 32). params dict:
+    a0: conv-stem output PRE-BN in channel-sublane layout (N, H, 32, W) —
+    emit it directly from the stem conv via dimension_numbers
+    ("NHWC", "HWIO", "NHCW"). params dict:
       k1 (32,9) dw kernel [dh*3+dw]; w1 (16,32), w2 (96,16), w3 (24,96)
       pointwise [Co,Ci]; k2 (96,9) stride-2 dw; g*/b* the six BN affine
       pairs (bn0=stem bn .. bn5=f2.pw_bn).
-    Returns (f2 output (N, H', W', 24), tuple of 6 (batch_mean, batch_var)).
+    Returns (f2 output (N, H', W', 24) NHWC, tuple of 6 (mean, var)).
     """
-    out, stats, _ = _stem_fwd(a0_nhwc, params, eps, interpret)
+    out, stats, _ = _stem_fwd(a0, params, eps, interpret)
     return out, stats
 
 
-def _stem_fwd_rule(a0n, p, eps, interpret):
-    out, stats, acts = _stem_fwd(a0n, p, eps, interpret)
-    return (out, stats), (p, stats, acts)
+def _stem_fwd_rule(a0, p, eps, interpret):
+    out, stats, acts = _stem_fwd(a0, p, eps, interpret)
+    return (out, stats), (p, stats, acts, a0.shape)
 
 
 def _stem_bwd_rule(eps, interpret, res, cts):
-    p, stats, acts = res
+    p, stats, acts, a0_shape = res
     g_out = cts[0]                                   # stats cotangents unused
-    a0, a1, a2, a3, a4, a5 = acts
-    dt = a0.dtype
+    a0p, a1, a2, a3, a4, a5 = acts
+    dt = a0p.dtype
     (m0, v0), (m1, v1), (m2, v2), (m3, v3), (m4, v4), (m5, v5) = stats
-    n, H = a0.shape[0], a0.shape[1]
-    W = a0.shape[3]
-    H2, W2 = a5.shape[1], a5.shape[3]
+    n, H = a0_shape[0], a0_shape[1]
+    W = a0_shape[3]
+    _, H2, _, _, R2 = _geom(H)
+    W2 = g_out.shape[2]
 
     # bn5 backward in XLA (small tensor, needs global sums first)
     gz = jnp.transpose(g_out, (0, 1, 3, 2)).astype(jnp.float32)
+    a5v = a5[:, PAD:PAD + H2].astype(jnp.float32)
     inv5 = jax.lax.rsqrt(v5 + eps)
-    xh5 = (a5.astype(jnp.float32) - m5[None, None, :, None]) \
-        * inv5[None, None, :, None]
+    xh5 = (a5v - m5[None, None, :, None]) * inv5[None, None, :, None]
     M5 = float(n * H2 * W2)
     sg5 = gz.sum(axis=(0, 1, 3))
     sgx5 = (gz * xh5).sum(axis=(0, 1, 3))
     ga5 = (p["g5"] * inv5)[None, None, :, None] * (
         gz - (sg5 / M5)[None, None, :, None]
         - xh5 * (sgx5 / M5)[None, None, :, None])
+    ga5p = jnp.pad(ga5.astype(dt),
+                   ((0, 0), (PAD, R2 - PAD - H2), (0, 0), (0, 0)))
 
     # pw3 link (bn4 relu6 -> pw3): first pass takes g_a directly
     pn_id = _bnbwd_identity(ga5.shape[2])
     bn4 = _bn_pack(m4, v4, p["g4"], p["b4"])
-    gy4, s4, dW3 = _run_pw_bwd(ga5, a5, a4, pn_id, bn4, p["w3"],
-                               H2, True, eps, interpret)
+    gy4, s4, dW3 = _run_pw_bwd(ga5p, a5, a4, pn_id, bn4, p["w3"],
+                               H2, True, eps, interpret, dt)
 
     # dw2 stride-2 link (bn3 relu6 -> dw s2)
     pn4 = _bnbwd_pack(m4, v4, p["g4"], s4[:, 0], s4[:, 1],
                       float(n * H2 * W2))
     bn3 = _bn_pack(m3, v3, p["g3"], p["b3"])
     gy3, s3, dk2 = _run_dw_s2_bwd(gy4, a4, a3, pn4, bn3, p["k2"],
-                                  H, eps, interpret)
+                                  H, eps, interpret, dt)
 
     # pw2 link (bn2 -> pw2)
     pn3 = _bnbwd_pack(m3, v3, p["g3"], s3[:, 0], s3[:, 1], float(n * H * W))
     bn2 = _bn_pack(m2, v2, p["g2"], p["b2"])
     gy2, s2, dW2 = _run_pw_bwd(gy3, a3, a2, pn3, bn2, p["w2"],
-                               H, False, eps, interpret)
+                               H, False, eps, interpret, dt)
 
     # pw1 link (bn1 relu6 -> pw1)
     pn2 = _bnbwd_pack(m2, v2, p["g2"], s2[:, 0], s2[:, 1], float(n * H * W))
     bn1 = _bn_pack(m1, v1, p["g1"], p["b1"])
     gy1, s1, dW1 = _run_pw_bwd(gy2, a2, a1, pn2, bn1, p["w1"],
-                               H, True, eps, interpret)
+                               H, True, eps, interpret, dt)
 
     # dw1 link (bn0 relu6 -> dw1)
     pn1 = _bnbwd_pack(m1, v1, p["g1"], s1[:, 0], s1[:, 1], float(n * H * W))
     bn0 = _bn_pack(m0, v0, p["g0"], p["b0"])
-    gy0, s0, dk1 = _run_dw_bwd(gy1, a1, a0, pn1, bn0, p["k1"],
-                               H, eps, interpret)
+    gy0, s0, dk1 = _run_dw_bwd(gy1, a1, a0p, pn1, bn0, p["k1"],
+                               H, eps, interpret, dt)
 
-    # bn0 backward in XLA
+    # bn0 backward in XLA on the unpadded slice
+    gy0v = gy0[:, PAD:PAD + H].astype(jnp.float32)
+    a0v = a0p[:, PAD:PAD + H].astype(jnp.float32)
     inv0 = jax.lax.rsqrt(v0 + eps)
-    xh0 = (a0.astype(jnp.float32) - m0[None, None, :, None]) \
-        * inv0[None, None, :, None]
+    xh0 = (a0v - m0[None, None, :, None]) * inv0[None, None, :, None]
     M0 = float(n * H * W)
     ga0 = (p["g0"] * inv0)[None, None, :, None] * (
-        gy0 - (s0[:, 0] / M0)[None, None, :, None]
+        gy0v - (s0[:, 0] / M0)[None, None, :, None]
         - xh0 * (s0[:, 1] / M0)[None, None, :, None])
-    da0n = jnp.transpose(ga0, (0, 1, 3, 2)).astype(dt)
+    da0 = ga0.astype(dt)
 
     dp = {
         "k1": dk1.astype(p["k1"].dtype), "k2": dk2.astype(p["k2"].dtype),
@@ -902,7 +863,7 @@ def _stem_bwd_rule(eps, interpret, res, cts):
         "g5": sgx5.astype(p["g5"].dtype),
         "b5": sg5.astype(p["b5"].dtype),
     }
-    return da0n, dp
+    return da0, dp
 
 
 fused_stem_f1f2.defvjp(_stem_fwd_rule, _stem_bwd_rule)
