@@ -28,7 +28,8 @@ def main() -> None:
     from kd_cheap_conv_tpu.models import build_model
     from kd_cheap_conv_tpu.train import make_kd_train_step, make_optimizer
 
-    batch = 16
+    import os
+    batch = int(os.environ.get("KDCC_BENCH_BATCH", "16"))
     hw = 513
     dtype = jnp.bfloat16
 

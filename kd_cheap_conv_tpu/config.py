@@ -75,6 +75,24 @@ def pallas_stem_enabled() -> bool:
         return False
 
 
+# Pallas depthwise conv routing (ops.pallas.dwconv): replaces XLA's
+# feature-group depthwise lowering wherever groups == C, stride 1, odd k,
+# 'same' padding. Measured SLOWER standalone (0.25-0.87x of lax) but the
+# in-context picture differs (XLA wraps its dw lowering in layout copies);
+# opt-in until the in-context numbers justify a default.
+# Env: KDCC_PALLAS_DW=0/1.
+use_pallas_dw: bool | None = False
+
+
+def pallas_dw_enabled() -> bool:
+    env = os.environ.get("KDCC_PALLAS_DW")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_pallas_dw is not None:
+        return use_pallas_dw
+    return False
+
+
 def pallas_interpret_mode() -> bool:
     """Pallas kernels need interpret=True off-TPU (tests force-enable the
     fused paths on the CPU mesh)."""

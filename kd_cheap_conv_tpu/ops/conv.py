@@ -81,6 +81,29 @@ def conv2d(
     common = jnp.promote_types(x.dtype, w.dtype)
     x = x.astype(common)
     w = w.astype(common)
+    # Depthwise convs route to the Pallas kernel (full Pallas fwd+bwd):
+    # XLA's feature-group lowering surrounds these with layout-conversion
+    # copies in real graphs (see ops/pallas/dwconv.py docstring)
+    if (groups > 1 and layout == "NHWC" and not isinstance(padding, str)
+            and groups == x.shape[-1] == w.shape[3] and w.shape[2] == 1):
+        from .. import config as _config
+
+        if _config.pallas_dw_enabled():
+            from .pallas.dwconv import (depthwise_conv2d_pallas,
+                                        dw_kernel_to_taps,
+                                        supports_pallas_dw)
+
+            if supports_pallas_dw(stride=stride, padding=padding,
+                                  dilation=dilation,
+                                  kernel_size=w.shape[:2]):
+                d = dilation[0] if isinstance(dilation, (tuple, list)) \
+                    else dilation
+                out = depthwise_conv2d_pallas(
+                    x, dw_kernel_to_taps(w), int(w.shape[0]), int(d),
+                    _config.pallas_interpret_mode())
+                if b is not None:
+                    out = out + b.astype(out.dtype)
+                return out
     out = lax.conv_general_dilated(
         x,
         w,
