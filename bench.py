@@ -30,15 +30,23 @@ def main() -> None:
 
     import os
     batch = int(os.environ.get("KDCC_BENCH_BATCH", "16"))
+    # Variant knobs (VERDICT round-1 item 10): KDCC_BENCH_SCOPE=
+    # backbone.layer3,backbone.layer4,classifier with
+    # KDCC_BENCH_STUDENT=deeplabv3plus_resnet50 measures a student whose
+    # BACKBONE blocks are cheap-conv-replaced (the fork's thesis), with the
+    # roofline recomputed for the cheaper graph automatically.
+    student_name = os.environ.get("KDCC_BENCH_STUDENT",
+                                  "deeplabv3plus_mobilenet")
+    scope = tuple(os.environ.get("KDCC_BENCH_SCOPE", "classifier").split(","))
     hw = 513
     dtype = jnp.bfloat16
 
     teacher = build_model("deeplabv3plus_resnet101", num_classes=21,
                           output_stride=16, dtype=dtype, rngs=nnx.Rngs(0))
-    student = build_model("deeplabv3plus_mobilenet", num_classes=21,
+    student = build_model(student_name, num_classes=21,
                           output_stride=16, dtype=dtype, rngs=nnx.Rngs(1))
     replace_cheap_convs(student, CheapConvSpec(kind="separable"),
-                        scope="classifier")
+                        scope=scope if len(scope) > 1 else scope[0])
 
     cfg = KDConfig(temperature=4.0, alpha=0.5, beta=0.5)
     _, params, _ = nnx.split(student, nnx.Param, ...)

@@ -95,6 +95,20 @@ def get_argparser() -> argparse.ArgumentParser:
                    help="multi-scale+flip TTA during --test_only")
     p.add_argument("--tta_scales", type=str, default="0.5,0.75,1.0,1.25,1.5,1.75")
     p.add_argument("--val_results_dir", type=str, default="results")
+    # Multi-host SPMD (SURVEY.md §5.8): one process per host on a TPU pod
+    # slice; jax.distributed.initialize() discovers coordinator/peers from
+    # the TPU environment (or --coordinator_address for manual runs). The
+    # global device mesh then spans hosts, with data-parallel collectives
+    # over ICI/DCN inserted by XLA. Untestable on this single-host rig; the
+    # dryrun covers the single-host SPMD path.
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before backend "
+                        "init (one process per host)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (omit on TPU pods — "
+                        "auto-discovered)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -136,6 +150,18 @@ def main(argv=None) -> int:
     np.random.seed(opts.random_seed)
 
     import jax
+
+    if opts.multihost:
+        # Must run before any backend touch; spans the device mesh across
+        # hosts (SURVEY.md §5.8 "DCN across hosts").
+        jax.distributed.initialize(
+            coordinator_address=opts.coordinator_address,
+            num_processes=opts.num_processes,
+            process_id=opts.process_id)
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, local devices "
+              f"{jax.local_device_count()} of {jax.device_count()}")
+
     import jax.numpy as jnp
     from flax import nnx
 
