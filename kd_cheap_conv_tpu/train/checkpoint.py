@@ -111,6 +111,28 @@ def restore_train_state(path: str, state):
     new_state = state.replace(
         params=new_params, rest=new_rest, opt_state=new_opt,
         step=jnp.asarray(restored["cur_itrs"], jnp.int32))
+
+    def _placed_like(old, new):
+        """Match the init'd state's placement. Orbax restores COMMITTED
+        device-0 arrays; feeding those to a jitted step whose batch is
+        sharded over the mesh fails with incompatible-devices. If the fresh
+        state leaf carries a mesh (Named) sharding, place there explicitly;
+        otherwise hand back host numpy — uncommitted, so jit replicates it
+        exactly like the freshly-initialized state."""
+        from jax.sharding import NamedSharding
+
+        sharding = getattr(old, "sharding", None)
+        if isinstance(sharding, NamedSharding):
+            return jax.device_put(jnp.asarray(new), sharding)
+        try:
+            return np.asarray(new)
+        except TypeError:
+            # typed PRNG-key leaves: rebuild uncommitted from the key data
+            data = jnp.asarray(np.asarray(jax.random.key_data(new)))
+            return jax.random.wrap_key_data(data,
+                                            impl=jax.random.key_impl(new))
+
+    new_state = jax.tree.map(_placed_like, state, new_state)
     return new_state, float(restored["best_score"])
 
 
