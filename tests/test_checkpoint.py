@@ -1,5 +1,6 @@
 """Checkpoint layout roundtrip (reference keys) + torch .pth import parity."""
 
+import pytest
 import os
 
 import numpy as np
@@ -54,6 +55,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(want[k], got[k], err_msg=k)
 
 
+@pytest.mark.slow
 def test_continue_training_full_resume(tmp_path):
     """Resume must restore optimizer momentum + schedule count + best_score:
     4 steps -> save -> restore into a FRESH differently-seeded state -> 4 more

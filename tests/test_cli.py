@@ -3,6 +3,7 @@ synthetic-data train for a few iterations with val + checkpointing, then
 --test_only eval from the written checkpoint.
 """
 
+import pytest
 import os
 import sys
 
@@ -11,6 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import main as cli
 
 
+@pytest.mark.slow
 def test_cli_train_and_eval_roundtrip(tmp_path, capsys):
     ckpt_dir = str(tmp_path / "ckpts")
     args = [
@@ -83,6 +85,7 @@ def test_cli_tta_eval(tmp_path, capsys):
     assert len(pngs) >= 4  # image/target/pred/overlay for >=1 sample
 
 
+@pytest.mark.slow
 def test_cli_cached_teacher_mode(tmp_path, capsys):
     # config #1: student KD step vs cached teacher logits — the cache is
     # precomputed on first run, then the teacher leaves the hot loop
@@ -111,6 +114,7 @@ def test_cli_cached_teacher_mode(tmp_path, capsys):
     assert os.path.exists(cache)
 
 
+@pytest.mark.slow
 def test_cli_enable_vis_writes_scalars(tmp_path, capsys):
     vis_dir = str(tmp_path / "runs")
     args = [

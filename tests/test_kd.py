@@ -28,6 +28,7 @@ def _count_convs(model, pred):
     return sum(1 for _, m in nnx.iter_modules(model) if pred(m))
 
 
+@pytest.mark.slow
 def test_replace_all_dense_convs_with_separable():
     m = build_model("deeplabv3plus_mobilenet", num_classes=21)
     before = _count_convs(
@@ -126,6 +127,7 @@ def _tiny_batch(n=2, hw=33, classes=21):
     return images, labels
 
 
+@pytest.mark.slow
 def test_kd_step_live_teacher_loss_decreases():
     teacher = build_model("deeplabv3plus_mobilenet", num_classes=21, rngs=nnx.Rngs(0))
     student = build_model("deeplabv3plus_mobilenet", num_classes=21, rngs=nnx.Rngs(1))
@@ -181,6 +183,7 @@ def test_cached_teacher_with_hints_rejected():
         make_kd_train_step(student, None, optax.sgd(0.1), cfg, cached_teacher=True)
 
 
+@pytest.mark.slow
 def test_progressive_freeze_only_updates_stage():
     student = build_model("deeplabv3plus_resnet50", num_classes=21)
     stage = ("backbone.layer4",)
@@ -282,6 +285,7 @@ def test_fused_sgd_respects_frozen_group():
             assert float(jnp.abs(u).max()) == 0, dotted
 
 
+@pytest.mark.slow
 def test_kd_step_xception_teacher_smoke():
     """Config #3 shape: Xception-65 teacher -> separable student (tiny)."""
     teacher = build_model("deeplabv3plus_xception", num_classes=6,

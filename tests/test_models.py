@@ -85,6 +85,7 @@ def test_set_bn_momentum():
     assert mom == {0.99}
 
 
+@pytest.mark.slow
 def test_bf16_compute_dtype():
     m = build_model("deeplabv3plus_mobilenet", num_classes=21, dtype=jnp.bfloat16)
     m.eval()

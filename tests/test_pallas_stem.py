@@ -3,6 +3,7 @@ forward values, BN batch stats, and gradients (input + every param), in
 interpreter mode on CPU. The reference uses the already-torch-pinned conv
 ops, so agreement here chains to reference parity."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,7 @@ def test_fused_stem_grads():
                                    rtol=2e-3, atol=2e-3, err_msg=f"d {key}")
 
 
+@pytest.mark.slow
 def test_fused_stem_module_integration():
     """MobileNetV2 with the fused stem force-enabled (interpret mode on CPU)
     matches the stock module path: forward dict, grads, and BN running-stat

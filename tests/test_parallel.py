@@ -2,6 +2,7 @@
 sharded-vs-single-device step parity, batch sharding layout, dryrun entry.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ def test_shard_batch_layout():
     assert images.addressable_shards[0].data.shape[0] == 1
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """The SPMD-sharded train step must track the unsharded one. Elementwise
     param equality is NOT expected (f32 reduction reorder + cancellation in

@@ -2,6 +2,7 @@
 resnet-teacher clone, 2 stages + fine-tune, a couple of iterations each.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 from flax import nnx
@@ -20,6 +21,7 @@ def _batches():
                jnp.asarray(RNG.randint(0, 6, (2, 33, 33)), jnp.int32))
 
 
+@pytest.mark.slow
 def test_run_progressive_two_stages():
     teacher = build_model("deeplabv3plus_resnet50", num_classes=6,
                           rngs=nnx.Rngs(0))
