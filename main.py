@@ -420,8 +420,21 @@ def main(argv=None) -> int:
                         shuffle=False, drop_last=False, num_epochs=1,
                         num_workers=opts.num_workers))
         cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+        saved = 0
         for batch in val_loader:
-            cm, _ = eval_step(p, st.rest, batch, cm)
+            cm, preds = eval_step(p, st.rest, batch, cm)
+            # reference validate(): dump image/target/pred/overlay PNGs for
+            # the first samples when --save_val_results is on (during
+            # training too, not only --test_only)
+            if opts.save_val_results and saved < 8:
+                from kd_cheap_conv_tpu.utils.visualizer import save_val_results
+                decode = getattr(val_dst, "decode_target",
+                                 type(val_dst).decode_target)
+                save_val_results(opts.val_results_dir, saved,
+                                 np.asarray(batch[0][0]),
+                                 np.asarray(batch[1][0]),
+                                 np.asarray(preds[0]), decode)
+                saved += 1
         return StreamSegMetrics.from_confusion_matrix(np.asarray(cm))
 
     loop_cfg = LoopConfig(total_itrs=opts.total_itrs,
