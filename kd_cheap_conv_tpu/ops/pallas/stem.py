@@ -99,6 +99,14 @@ def _sel_matrices(w_in: int, w_out: int):
     return mats
 
 
+def _mm(a, b, dt):
+    """MXU matmul in the model dtype (bf16 on TPU — f32 MXU runs at a
+    fraction of bf16 rate; stock XLA convs are bf16 too), f32 accumulation.
+    dt is the HBM array dtype; f32 kept for CPU-interpret parity tests."""
+    return jnp.dot(a.astype(dt), b.astype(dt),
+                   preferred_element_type=jnp.float32)
+
+
 def _bn_apply(x, bn, relu, eps):
     """x (rows, C, W) f32; bn (C, 4) = [mean, var, gamma, beta] f32."""
     mu = bn[:, 0:1][None]
@@ -194,9 +202,8 @@ def _k_bn_pw(x_ref, bn_ref, w_ref, y_ref, s_ref, *, bh, H, relu, eps):
     x = x_ref[0].astype(jnp.float32)
     h = _bn_apply(x, bn_ref[...].astype(jnp.float32), relu, eps)
     h = _mask_rows(h, j, bh, 0, H)
-    w = w_ref[...].astype(jnp.float32)
-    rows = [jnp.dot(w, h[r], preferred_element_type=jnp.float32)
-            for r in range(bh)]
+    w = w_ref[...]
+    rows = [_mm(w, h[r], y_ref.dtype) for r in range(bh)]
     y = jnp.stack(rows, axis=0)                      # (bh, Co, W)
     y_ref[0] = y.astype(y_ref.dtype)
     m = _rows_in(bh, j, bh, 0, H)
@@ -213,18 +220,22 @@ def _k_bn_dw_s2(xp_ref, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
     via the selection matmuls s0/s1/s2.
     """
     j = pl.program_id(1)
-    xp = xp_ref[0].astype(jnp.float32)               # (bh+1, 2, C, Win)
-    C = xp.shape[2]
+    xp = xp_ref[0].astype(jnp.float32)               # (bh+1, 2C, Win)
+    C = xp.shape[1] // 2
     bn = bn_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)               # (C, 9)
 
+    # the pair dim is FOLDED into the sublane dim: row pair p is
+    # (xp[p, 0:C], xp[p, C:2C]) — aligned sublane slices (C % 8 == 0),
+    # which keeps the halo window 4D (5D Element windows DMA poorly)
     taps_rows = []
     for dh in range(3):
         if dh == 0:
-            rows = xp[0:bh, 1]                       # global row 2R-1
+            rows = xp[0:bh, C:2 * C]                 # global row 2R-1
             first = -1
         else:
-            rows = xp[1:bh + 1, dh - 1]              # 2R (dh=1) / 2R+1 (dh=2)
+            lo = (dh - 1) * C
+            rows = xp[1:bh + 1, lo:lo + C]           # 2R (dh=1) / 2R+1 (dh=2)
             first = dh - 1
         taps_rows.append((rows, first))
 
@@ -239,8 +250,7 @@ def _k_bn_dw_s2(xp_ref, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
         h = jnp.where((gr >= 0) & (gr < Hin), h, 0.0)
         flat = h.reshape(bh * C, h.shape[2])
         for dw in range(3):
-            tap = jnp.dot(flat, sels[dw],
-                          preferred_element_type=jnp.float32)
+            tap = _mm(flat, sels[dw], y_ref.dtype)
             tap = tap.reshape(bh, C, Wout)
             acc = acc + tap * k[:, dh * 3 + dw:dh * 3 + dw + 1][None]
     y_ref[0] = acc.astype(y_ref.dtype)
@@ -334,12 +344,12 @@ def _run_bn_dw_s2(x, bn, k, Hin, R2, eps, interpret, out_dtype):
     hout = (Hin + 1) // 2
     wout = (win + 1) // 2
     nh = pl.cdiv(hout, BH)
-    xp = x.reshape(n, R // 2, 2, c, win)             # free pair-view bitcast
+    xp = x.reshape(n, R // 2, 2 * c, win)            # free pair-view bitcast
     sels = [jnp.asarray(s) for s in _sel_matrices(win, wout)]
     pair_halo = pl.BlockSpec(
-        (pl.Element(1), pl.Element(BH + 1), pl.Element(2), pl.Element(c),
+        (pl.Element(1), pl.Element(BH + 1), pl.Element(2 * c),
          pl.Element(win)),
-        lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0, 0),
+        lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0),
         memory_space=pltpu.VMEM)
     y, sums = pl.pallas_call(
         functools.partial(_k_bn_dw_s2, bh=BH, Hin=Hin, Hout=hout, eps=eps),
@@ -437,15 +447,16 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
     z = jnp.where(m, z, 0.0)
     xh = jnp.where(m, xh, 0.0)
 
-    wt = wt_ref[...].astype(jnp.float32)            # (Ci, Co)
+    wt = wt_ref[...]                                # (Ci, Co)
+    mdt = gyk_ref.dtype
     dims = (((1,), (1,)), ((), ()))                 # contract W
     dw_tile = jnp.zeros((wt.shape[1], wt.shape[0]), jnp.float32)
     gz_rows = []
     for r in range(bh):
-        dw_tile += jax.lax.dot_general(ga[r], z[r], dims,
+        dw_tile += jax.lax.dot_general(ga[r].astype(mdt), z[r].astype(mdt),
+                                       dims,
                                        preferred_element_type=jnp.float32)
-        gz_rows.append(jnp.dot(wt, ga[r],
-                               preferred_element_type=jnp.float32))
+        gz_rows.append(_mm(wt, ga[r], mdt))
     gz = jnp.stack(gz_rows, axis=0)                 # (bh, Ci, W)
     if relu_k:
         gu = gz * ((u > 0.0) & (u < 6.0)).astype(jnp.float32)
@@ -527,19 +538,20 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
     Grid over the low-res g rows m in [j*bh, j*bh+bh). Blocks:
       gy / a_next: (1, bh+1, C, Wout) Element rows starting j*bh (one halo
         row at the bottom for the dh=0 contribution of g[m+1]);
-      a_k: PAIR-VIEW halo (1, bh+1, 2, C, Win) Element pairs starting
-        j*bh-1 global (same window as the fwd kernel).
+      a_k: PAIR-VIEW halo (1, bh+1, 2C, Win) Element pairs starting
+        j*bh-1 global (same window as the fwd kernel; the pair dim is
+        folded into sublanes — see _k_bn_dw_s2).
     sf* = S_dw (Win, Wout) fwd selection; st* = S_dw^T (Wout, Win).
-    gy_k written in PAIR VIEW (1, bh, 2, C, Win): pair m holds rows
+    gy_k written in PAIR VIEW (1, bh, 2C, Win): pair m holds rows
     (2m, 2m+1) — even from g[m] (dh=1 weights), odd from g[m] (dh=2) +
     g[m+1] (dh=0). No overlapping writes.
     """
     i, j = pl.program_id(0), pl.program_id(1)
     gy = gy_ref[0].astype(jnp.float32)              # (bh+1, C, Wout)
     an = an_ref[0].astype(jnp.float32)
-    akp = akp_ref[0].astype(jnp.float32)            # (bh+1, 2, C, Win)
+    akp = akp_ref[0].astype(jnp.float32)            # (bh+1, 2C, Win)
     C = gy.shape[1]
-    Win = akp.shape[3]
+    Win = akp.shape[2]
     pn = pn_ref[...].astype(jnp.float32)
     bnk = bnk_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)              # (C, 9)
@@ -551,10 +563,12 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
     sts = [st0_ref[...], st1_ref[...], st2_ref[...]]
     sfs = [sf0_ref[...], sf1_ref[...], sf2_ref[...]]
 
+    mdt = gyk_ref.dtype
+
     def lanes_t(g_rows, dw):
         """(rows, C, Wout) @ S_dw^T -> (rows, C, Win)."""
         flat = g_rows.reshape(g_rows.shape[0] * C, g_rows.shape[2])
-        out = jnp.dot(flat, sts[dw], preferred_element_type=jnp.float32)
+        out = _mm(flat, sts[dw], mdt)
         return out.reshape(g_rows.shape[0], C, Win)
 
     even = jnp.zeros((bh, C, Win), jnp.float32)
@@ -567,8 +581,8 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
 
     # relu mask + xhat at the high-res output rows: pairs m = j*bh + p - 1
     # live at akp local p in [1, bh+1)
-    a_even = akp[1:bh + 1, 0]
-    a_odd = akp[1:bh + 1, 1]
+    a_even = akp[1:bh + 1, 0:C]
+    a_odd = akp[1:bh + 1, C:2 * C]
     u_e, xh_e = _bn_u_xh(a_even, bnk, eps)
     u_o, xh_o = _bn_u_xh(a_odd, bnk, eps)
     re = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0) + j * bh
@@ -578,8 +592,8 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
     gu_o = jnp.where(m_o, odd * ((u_o > 0.0) & (u_o < 6.0)), 0.0)
     xh_e = jnp.where(m_e, xh_e, 0.0)
     xh_o = jnp.where(m_o, xh_o, 0.0)
-    gyk_ref[0, :, 0] = gu_e.astype(gyk_ref.dtype)
-    gyk_ref[0, :, 1] = gu_o.astype(gyk_ref.dtype)
+    gyk_ref[0, :, 0:C] = gu_e.astype(gyk_ref.dtype)
+    gyk_ref[0, :, C:2 * C] = gu_o.astype(gyk_ref.dtype)
     _accum(sums_ref, j,
            _grad_sums_tile(gu_e, xh_e, C) + _grad_sums_tile(gu_o, xh_o, C))
 
@@ -590,9 +604,10 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
     dk_tile = jnp.zeros((C, 128), jnp.float32)
     for dh in range(3):
         if dh == 0:
-            rows, first = akp[0:bh, 1], -1           # rows 2m-1
+            rows, first = akp[0:bh, C:2 * C], -1     # rows 2m-1
         else:
-            rows, first = akp[1:bh + 1, dh - 1], dh - 1
+            lo = (dh - 1) * C
+            rows, first = akp[1:bh + 1, lo:lo + C], dh - 1
         uu, _ = _bn_u_xh(rows, bnk, eps)
         rr = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
         gr = 2 * (rr + j * bh) + first
@@ -600,7 +615,7 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
                        jnp.clip(uu, 0.0, 6.0), 0.0)
         flat = hh.reshape(bh * C, Win)
         for dw in range(3):
-            tap = jnp.dot(flat, sfs[dw], preferred_element_type=jnp.float32)
+            tap = _mm(flat, sfs[dw], mdt)
             tap = tap.reshape(bh, C, ga_c.shape[2])
             v = jnp.sum(tap * ga_c, axis=(0, 2))
             dk_tile += jnp.where(col == dh * 3 + dw, v[:, None], 0.0)
@@ -680,7 +695,7 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, eps, interpret, gdt):
     win = a_k.shape[3]
     hout = (Hin + 1) // 2
     nh = pl.cdiv(hout, BH)
-    akp = a_k.reshape(n, R // 2, 2, c, win)          # free pair-view bitcast
+    akp = a_k.reshape(n, R // 2, 2 * c, win)         # free pair-view bitcast
     sf = [jnp.asarray(s) for s in _sel_matrices(win, wout)]
     st = [jnp.asarray(np.ascontiguousarray(s.T))
           for s in _sel_matrices(win, wout)]
@@ -689,13 +704,13 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, eps, interpret, gdt):
         lambda i, j: (i, PAD + j * BH, 0, 0),
         memory_space=pltpu.VMEM)
     pair_halo = pl.BlockSpec(
-        (pl.Element(1), pl.Element(BH + 1), pl.Element(2), pl.Element(c),
+        (pl.Element(1), pl.Element(BH + 1), pl.Element(2 * c),
          pl.Element(win)),
-        lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0, 0),
+        lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0),
         memory_space=pltpu.VMEM)
     gykp, sums, dk = pl.pallas_call(
         functools.partial(_k_dw_s2_bwd, bh=BH, Hin=Hin, Hout=hout, eps=eps),
-        out_shape=(jax.ShapeDtypeStruct((n, R // 2, 2, c, win), gdt),
+        out_shape=(jax.ShapeDtypeStruct((n, R // 2, 2 * c, win), gdt),
                    jax.ShapeDtypeStruct((n, c, 128), jnp.float32),
                    jax.ShapeDtypeStruct((c, 128), jnp.float32)),
         grid=(n, nh),
@@ -706,8 +721,8 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, eps, interpret, gdt):
             _const((wout, win)), _const((wout, win)), _const((wout, win)),
         ],
         out_specs=(
-            pl.BlockSpec((1, BH, 2, c, win),
-                         lambda i, j: (i, j + PAD // (2 * BH), 0, 0, 0),
+            pl.BlockSpec((1, BH, 2 * c, win),
+                         lambda i, j: (i, j + PAD // (2 * BH), 0, 0),
                          memory_space=pltpu.VMEM),
             _stats_out(c),
             pl.BlockSpec((c, 128), lambda i, j: (0, 0),
