@@ -75,6 +75,25 @@ def pallas_stem_enabled() -> bool:
         return False
 
 
+# Fused Pallas decoder head (ops.pallas.decoder): runs the DeepLabV3+
+# fuse(sep-conv+BN+relu)+classifier chain as 2+2 Pallas passes in training
+# mode. Measured SLOWER at b16/513² (74.8 vs 68.9ms): at W=129 the
+# channel-sublane layout's lane dim pads 129->256, so every stored tensor
+# doubles and the entry pad/transposes add ~3ms of glue (profiled; chain
+# ~11ms vs the 8.5ms XLA cluster it replaces). Opt-in; the layout only pays
+# at W >= ~200 (stem resolutions). Env: KDCC_PALLAS_DECODER=0/1.
+use_pallas_decoder: bool | None = False
+
+
+def pallas_decoder_enabled() -> bool:
+    env = os.environ.get("KDCC_PALLAS_DECODER")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_pallas_decoder is not None:
+        return use_pallas_decoder
+    return False
+
+
 # Pallas depthwise conv routing (ops.pallas.dwconv): replaces XLA's
 # feature-group depthwise lowering wherever groups == C, stride 1, odd k,
 # 'same' padding. Measured SLOWER standalone (0.25-0.87x of lax) but the

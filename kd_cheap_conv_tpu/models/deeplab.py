@@ -30,13 +30,66 @@ class DeepLabHeadV3Plus(nnx.Module):
         self.fuse = ConvBNReLU(304, 256, 3, padding=1, dtype=dtype, rngs=rngs)
         self.classifier = Conv2d(256, num_classes, 1, dtype=dtype, rngs=rngs)
 
+    def _fused_head_active(self, return_features: bool) -> bool:
+        """Structural guard for the fused Pallas decoder chain
+        (ops.pallas.decoder): sep-conv fuse + train-mode BN + biased 1x1
+        classifier, no hint taps requested."""
+        from .. import config
+
+        if return_features or not config.pallas_decoder_enabled():
+            return False
+        try:
+            sep = self.fuse.conv
+            dw, pw = sep.depthwise, sep.pointwise
+            return (self.fuse.bn.use_running_average is False
+                    and dw.kernel_size == (3, 3) and dw.stride == (1, 1)
+                    and dw.dilation == (1, 1) and dw.padding == (1, 1)
+                    and dw.groups == dw.in_channels
+                    and pw.bias is None and pw.kernel_size == (1, 1)
+                    and self.classifier.kernel_size == (1, 1)
+                    and self.classifier.bias is not None
+                    and dw.in_channels % 8 == 0)
+        except AttributeError:
+            return False
+
+    def _call_fused_head(self, xcat):
+        """xcat (N, H, W, 304) NHWC -> fused chain -> logits NHWC; BN
+        running stats updated with the module's own momentum."""
+        import jax.numpy as jnp
+
+        from .. import config
+        from ..ops.pallas.decoder import fused_decoder_head
+
+        sep = self.fuse.conv
+        kv = sep.depthwise.kernel.value
+        p = {
+            "k": jnp.transpose(kv[:, :, 0, :], (2, 0, 1)).reshape(
+                kv.shape[3], 9),
+            "pw": sep.pointwise.kernel.value[0, 0].T,
+            "g": self.fuse.bn.scale.value,
+            "b": self.fuse.bn.bias.value,
+            "wc": self.classifier.kernel.value[0, 0].T,
+            "bc": self.classifier.bias.value,
+        }
+        xc = jnp.transpose(xcat, (0, 1, 3, 2))        # NHWC -> NHCW
+        logits, (m, v) = fused_decoder_head(xc, p, float(self.fuse.bn.epsilon),
+                                            config.pallas_interpret_mode())
+        bn = self.fuse.bn
+        mom = bn.momentum
+        bn.mean.value = mom * bn.mean.value + (1.0 - mom) * m
+        bn.var.value = mom * bn.var.value + (1.0 - mom) * v
+        return jnp.transpose(logits, (0, 1, 3, 2))    # NHCW -> NHWC
+
     def __call__(self, features: dict, *, return_features: bool = False):
         import jax.numpy as jnp
 
         low = self.project(features["low_level"])
         x = self.aspp(features["out"])
         x = resize_bilinear(x, low.shape[1:3])
-        x = self.fuse(jnp.concatenate([low, x], axis=-1))
+        xcat = jnp.concatenate([low, x], axis=-1)
+        if self._fused_head_active(return_features):
+            return self._call_fused_head(xcat)
+        x = self.fuse(xcat)
         logits = self.classifier(x)
         if return_features:
             return logits, {"head": x}

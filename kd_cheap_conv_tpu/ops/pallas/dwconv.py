@@ -52,72 +52,67 @@ def supports_pallas_dw(*, stride, padding, dilation, kernel_size) -> bool:
     return s == 1 and kh == kw and k >= 3 and k % 2 == 1 and p == d * (k - 1) // 2
 
 
-def _shift_w(x, o):
-    """Shift x (rows, W, C) along W by tap offset o with zero fill:
-    out[:, w] = x[:, w + o] — a circular sublane rotate + edge mask
-    (cheaper than materializing concat slices)."""
-    if o == 0:
-        return x
-    W = x.shape[1]
-    sub = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
-    # pltpu.roll is circular with non-negative shift: out[w] = x[w - s]
-    s = (-o) % W
-    r = pltpu.roll(x, s, axis=1)
-    if o > 0:
-        return jnp.where(sub < W - o, r, 0.0)
-    return jnp.where(sub >= -o, r, 0.0)
+def _taps_win(wins, kr, k, d, th, flip=False):
+    """k x k depthwise MAC from k pre-shifted halo windows.
 
-
-def _taps(h, kr, k, d, th, flip=False):
-    """k x k depthwise MAC over halo rows h (th + 2p, W, C) f32 with
-    per-channel kernel kr (C, k*k) -> (th, W, C) f32."""
-    p = d * (k - 1) // 2
-    acc = jnp.zeros((th,) + h.shape[1:], jnp.float32)
+    wins[dw] is a (th + 2p, W, C) f32 window of the W-and-H zero-padded
+    input, whose W range is [dw*d, dw*d + W) — the W tap shift is done by
+    the DMA (Element window offset), so the kernel is pure slicing + FMA:
+    no sublane shuffles (measured 28x slower per grid cell than lane work).
+    """
+    acc = jnp.zeros((th,) + wins[0].shape[1:], jnp.float32)
     for dh in range(k):
-        rows = h[dh * d:dh * d + th]
         for dw in range(k):
             t = (k * k - 1) - (dh * k + dw) if flip else dh * k + dw
-            sh = _shift_w(rows, d * dw - p)
-            acc = acc + sh * kr[:, t][None, None, :]
+            rows = wins[dw][dh * d:dh * d + th]
+            acc = acc + rows * kr[:, t][None, None, :]
     return acc
 
 
-def _k_dw_fwd(x_ref, k_ref, y_ref, *, k, d, th):
-    """x block (1, th+2p, W, C) halo starting at padded row j*th (= global
-    j*th - p); y block (1, th, W, C). The input buffer is zero-padded to
-    nh*th + 2p rows, so every halo read is real zeros — no masking."""
-    x = x_ref[0].astype(jnp.float32)
-    y = _taps(x, k_ref[...].astype(jnp.float32), k, d, th)
-    y_ref[0] = y.astype(y_ref.dtype)
+def _wwin(w):
+    """Window W length: Mosaic needs the sublane block dim divisible by 8
+    (unless equal to the array dim — ours is an offset window, so round
+    up; the extra columns read real zero padding and are sliced off)."""
+    return ((w + 7) // 8) * 8
 
 
-def _k_dw_dx(g_ref, k_ref, gx_ref, *, k, d, th):
-    """dx = dw-conv of g with the flipped kernel (same padded-buffer
-    contract as _k_dw_fwd)."""
-    g = g_ref[0].astype(jnp.float32)
-    gx = _taps(g, k_ref[...].astype(jnp.float32), k, d, th, flip=True)
-    gx_ref[0] = gx.astype(gx_ref.dtype)
+def _k_dw_fwd(*refs, k, d, th):
+    """refs = (x_win_0..k-1, kr, y). Each x window (1, th+2p, W, C) is a
+    W-shifted halo of the zero-padded input — real zeros, no masking."""
+    wins = [r[0].astype(jnp.float32) for r in refs[:k]]
+    kr = refs[k][...].astype(jnp.float32)
+    y_ref = refs[k + 1]
+    y = _taps_win(wins, kr, k, d, th)
+    y_ref[0] = y[:, :y_ref.shape[2]].astype(y_ref.dtype)
 
 
-def _k_dw_dk(x_ref, g_ref, dk_ref, *, k, d, th, H):
-    """dk[c, dh*k+dw] = sum_{pix} x[tap] * g. x halo (1, th+2p, W, C);
+def _k_dw_dx(*refs, k, d, th):
+    """dx = dw-conv of g with the flipped kernel (same windowed contract)."""
+    wins = [r[0].astype(jnp.float32) for r in refs[:k]]
+    kr = refs[k][...].astype(jnp.float32)
+    gx_ref = refs[k + 1]
+    gx = _taps_win(wins, kr, k, d, th, flip=True)
+    gx_ref[0] = gx[:, :gx_ref.shape[2]].astype(gx_ref.dtype)
+
+
+def _k_dw_dk(*refs, k, d, th, H):
+    """dk[c, dh*k+dw] = sum_{pix} x[tap] * g via the k shifted x windows;
     g block (1, th, W, C); dk (kk_pad, C) f32 grid-carried accumulator."""
     i, j = pl.program_id(0), pl.program_id(1)
-    x = x_ref[0].astype(jnp.float32)
+    wins = [r[0].astype(jnp.float32) for r in refs[:k]]
+    g_ref, dk_ref = refs[k], refs[k + 1]
     g = g_ref[0].astype(jnp.float32)
-    p = d * (k - 1) // 2
-    # x halo reads hit the zero-padded buffer; only the blocked g read of a
+    # x windows read the zero-padded buffer; only the blocked g read of a
     # trailing partial block may contain garbage rows
     rg = jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1), 0)
     g = jnp.where(rg + j * th < H, g, 0.0)
 
-    C = x.shape[2]
+    w = g.shape[1]
     rows_list = []
     for dh in range(k):
-        rows = x[dh * d:dh * d + th]
         for dw in range(k):
-            sh = _shift_w(rows, d * dw - p)
-            rows_list.append(jnp.sum(sh * g, axis=(0, 1)))  # (C,)
+            rows = wins[dw][dh * d:dh * d + th, :w]
+            rows_list.append(jnp.sum(rows * g, axis=(0, 1)))  # (C,)
     tile = jnp.stack(rows_list, axis=0)              # (kk, C)
     pad = dk_ref.shape[0] - tile.shape[0]
     tile = jnp.pad(tile, ((0, pad), (0, 0)))
@@ -144,62 +139,73 @@ def _pick_th(h, w, c, itemsize):
     return 8
 
 
-def _run_fwd(xp, kr, k, d, H, th, interpret):
-    """xp (N, H+2p, W, C) H-padded input; kr (C, kk). Returns y (N,H,W,C)."""
-    n, hp, w, c = xp.shape
+def _win_specs(k, d, th, w_out, c):
+    """k Element windows of the padded array, one per W tap: window dw
+    covers W range [dw*d, dw*d + w_out) and H range [j*th, j*th+th+2p)."""
     p = d * (k - 1) // 2
+    ww = _wwin(w_out)
+    specs = []
+    for dw in range(k):
+        specs.append(pl.BlockSpec(
+            (pl.Element(1), pl.Element(th + 2 * p), pl.Element(ww),
+             pl.Element(c)),
+            lambda i, j, dw=dw: (i, j * th, dw * d, 0),
+            memory_space=pltpu.VMEM))
+    return specs
+
+
+def _run_fwd(xp, kr, k, d, H, W, th, interpret):
+    """xp padded input (H: p top, to block multiple + p bottom; W: p left,
+    window overhang right); kr (C, kk). Returns y (N, H, W, C)."""
+    n, hp, wp, c = xp.shape
+    p = d * (k - 1) // 2
+    w = W
     nh = pl.cdiv(H, th)
-    halo = pl.BlockSpec(
-        (pl.Element(1), pl.Element(th + 2 * p), pl.Element(w),
-         pl.Element(c)),
-        lambda i, j: (i, j * th, 0, 0),
-        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_k_dw_fwd, k=k, d=d, th=th),
         out_shape=jax.ShapeDtypeStruct((n, H, w, c), xp.dtype),
         grid=(n, nh),
-        in_specs=[halo,
-                  pl.BlockSpec((c, kr.shape[1]), lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=_win_specs(k, d, th, w, c) + [
+            pl.BlockSpec((c, kr.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         compiler_params=_CP,
-    )(xp, kr)
+    )(*([xp] * k), kr)
 
 
 def _run_dk(xp, g, k, d, H, th, interpret):
-    n, hp, w, c = xp.shape
+    n, hp, wp, c = xp.shape
     p = d * (k - 1) // 2
+    w = g.shape[2]
     nh = pl.cdiv(H, th)
     kk = k * k
     kk_pad = ((kk + 7) // 8) * 8
-    halo = pl.BlockSpec(
-        (pl.Element(1), pl.Element(th + 2 * p), pl.Element(w),
-         pl.Element(c)),
-        lambda i, j: (i, j * th, 0, 0),
-        memory_space=pltpu.VMEM)
     dk = pl.pallas_call(
         functools.partial(_k_dw_dk, k=k, d=d, th=th, H=H),
         out_shape=jax.ShapeDtypeStruct((kk_pad, c), jnp.float32),
         grid=(n, nh),
-        in_specs=[halo,
-                  pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=_win_specs(k, d, th, w, c) + [
+            pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((kk_pad, c), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         compiler_params=_CP,
-    )(xp, g)
+    )(*([xp] * k), g)
     return dk[:kk]
 
 
 def _pad_h(x, p, th):
-    """Zero-pad H by p on top and to nh*th + p past the data on the bottom,
-    so every (th + 2p)-row Element window reads initialized memory."""
+    """Zero-pad H by p on top and to nh*th + p past the data on the bottom
+    (every Element window reads initialized memory) and W by p both sides
+    (the per-tap window offsets index the padded W range)."""
     h = x.shape[1]
     nh = pl.cdiv(h, th)
-    return jnp.pad(x, ((0, 0), (p, nh * th + p - h), (0, 0), (0, 0)))
+    w = x.shape[2]
+    wpad = (k_ := 0) or ((_wwin(w) - w) + p)   # window overhang + right pad
+    return jnp.pad(x, ((0, 0), (p, nh * th + p - h), (p, wpad), (0, 0)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -212,15 +218,15 @@ def depthwise_conv2d_pallas(x, kr, k: int, dilation: int = 1,
     """
     p = dilation * (k - 1) // 2
     th = _pick_th(x.shape[1], x.shape[2], x.shape[3], x.dtype.itemsize)
-    return _run_fwd(_pad_h(x, p, th), kr, k, dilation, x.shape[1], th,
-                    interpret)
+    return _run_fwd(_pad_h(x, p, th), kr, k, dilation, x.shape[1],
+                    x.shape[2], th, interpret)
 
 
 def _dw_fwd_rule(x, kr, k, dilation, interpret):
     p = dilation * (k - 1) // 2
     th = _pick_th(x.shape[1], x.shape[2], x.shape[3], x.dtype.itemsize)
     xp = _pad_h(x, p, th)
-    y = _run_fwd(xp, kr, k, dilation, x.shape[1], th, interpret)
+    y = _run_fwd(xp, kr, k, dilation, x.shape[1], x.shape[2], th, interpret)
     return y, (xp, kr)
 
 
@@ -230,27 +236,22 @@ def _dw_bwd_rule(k, dilation, interpret, res, g):
     H = g.shape[1]
     th = _pick_th(H, xp.shape[2], xp.shape[3], xp.dtype.itemsize)
     gp = _pad_h(g, p, th)
-    # dx: conv of g with flipped kernel (run through the same fwd driver
-    # with flip inside the kernel)
-    n, hp, w, c = gp.shape
+    # dx: conv of g with flipped kernel (same windowed structure)
+    n, hp, wp, c = gp.shape
+    w = g.shape[2]
     nh = pl.cdiv(H, th)
-    halo = pl.BlockSpec(
-        (pl.Element(1), pl.Element(th + 2 * p), pl.Element(w),
-         pl.Element(c)),
-        lambda i, j: (i, j * th, 0, 0),
-        memory_space=pltpu.VMEM)
     dx = pl.pallas_call(
         functools.partial(_k_dw_dx, k=k, d=dilation, th=th),
         out_shape=jax.ShapeDtypeStruct((n, H, w, c), gp.dtype),
         grid=(n, nh),
-        in_specs=[halo,
-                  pl.BlockSpec((c, kr.shape[1]), lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=_win_specs(k, dilation, th, w, c) + [
+            pl.BlockSpec((c, kr.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         compiler_params=_CP,
-    )(gp, kr)
+    )(*([gp] * k), kr)
     dk = _run_dk(xp, g, k, dilation, H, th, interpret)
     return dx, jnp.transpose(dk, (1, 0)).astype(kr.dtype)
 
