@@ -399,12 +399,20 @@ def _gather_windows(x, starts: list[int], nw: int):
 
 
 def _up2_tile(ref, bd, wc, C, nw, clip):
-    """Upsampled class-major tile: BD @ (X @ Wc) -> (C, th, W) f32."""
+    """Upsampled class-major tile: BD @ (X @ Wc) -> (C, th, W) f32.
+
+    The two matmuls run in the logits dtype (bf16 on TPU — the logits were
+    computed in bf16 upstream, so this loses nothing; f32 MXU runs at a
+    fraction of bf16 rate and these dots burn ~54 GFLOP/step at b16/513²).
+    Accumulation stays f32."""
+    mdt = ref.dtype if ref.dtype == jnp.bfloat16 else jnp.float32
     x = ref[0, 0].astype(jnp.float32)            # (C, nw, w)
     if clip:
         x = jnp.clip(x, -clip, clip)
     xs = x.reshape(C * nw, x.shape[-1])          # contiguous major merge
-    up = jnp.dot(bd, jnp.dot(xs, wc, preferred_element_type=jnp.float32),
+    inner = jnp.dot(xs.astype(mdt), wc.astype(mdt),
+                    preferred_element_type=jnp.float32)
+    up = jnp.dot(bd.astype(mdt), inner.astype(mdt),
                  preferred_element_type=jnp.float32)   # (C*th, W)
     th = bd.shape[0] // C
     return up.reshape(C, th, up.shape[-1])       # contiguous major split
@@ -499,8 +507,11 @@ def _up2_bwd_kernel_kl(s_ref, t_ref, lbl_ref, bd_ref, bdt_ref, wc_ref,
     g = _celk_grad_tile(s3, t3, lbl_ref[0], j, th, H, T, ignore_index,
                         scal_ref[0, 1], scal_ref[0, 2])
     g2 = g.reshape(C * th, g.shape[-1])
-    dxs = jnp.dot(bdt_ref[0], g2, preferred_element_type=jnp.float32)
-    dwin = jnp.dot(dxs, wct_ref[...], preferred_element_type=jnp.float32)
+    mdt = s_ref.dtype if s_ref.dtype == jnp.bfloat16 else jnp.float32
+    dxs = jnp.dot(bdt_ref[0].astype(mdt), g2.astype(mdt),
+                  preferred_element_type=jnp.float32)
+    dwin = jnp.dot(dxs.astype(mdt), wct_ref[...].astype(mdt),
+                   preferred_element_type=jnp.float32)
     dwin_ref[0, 0] = dwin.reshape(C, nw, dwin.shape[-1])
 
 
@@ -512,8 +523,11 @@ def _up2_bwd_kernel_ce(s_ref, lbl_ref, bd_ref, bdt_ref, wc_ref, wct_ref,
     g = _celk_grad_tile(s3, None, lbl_ref[0], j, th, H, T, ignore_index,
                         scal_ref[0, 1], scal_ref[0, 2])
     g2 = g.reshape(C * th, g.shape[-1])
-    dxs = jnp.dot(bdt_ref[0], g2, preferred_element_type=jnp.float32)
-    dwin = jnp.dot(dxs, wct_ref[...], preferred_element_type=jnp.float32)
+    mdt = s_ref.dtype if s_ref.dtype == jnp.bfloat16 else jnp.float32
+    dxs = jnp.dot(bdt_ref[0].astype(mdt), g2.astype(mdt),
+                  preferred_element_type=jnp.float32)
+    dwin = jnp.dot(dxs.astype(mdt), wct_ref[...].astype(mdt),
+                   preferred_element_type=jnp.float32)
     dwin_ref[0, 0] = dwin.reshape(C, nw, dwin.shape[-1])
 
 
