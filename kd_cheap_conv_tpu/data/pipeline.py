@@ -81,10 +81,14 @@ def prefetch_to_device(iterator, *, mesh=None, buffer_size: int = 2):
     def _producer():
         try:
             for batch in iterator:
-                if sharding is not None:
+                first = jax.tree.leaves(batch)[0]
+                if (sharding is not None
+                        and first.shape[0] % sharding.mesh.size == 0):
                     batch = jax.tree.map(
                         lambda x: jax.device_put(x, sharding), batch)
                 else:
+                    # trailing partial batch (drop_last=False eval) can't
+                    # shard over the data axis — place replicated/uncommitted
                     batch = jax.tree.map(jax.device_put, batch)
                 q.put(batch)
         finally:

@@ -124,3 +124,29 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 129, 129, 21)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_eval_step_sharded_matches_replicated():
+    """make_eval_step on mesh-sharded val batches produces the same
+    confusion matrix as replicated compute (VERDICT r1 weak #5)."""
+    from kd_cheap_conv_tpu.train.steps import make_eval_step
+
+    mesh = make_mesh()
+    model = build_model("deeplabv3plus_mobilenet", num_classes=6,
+                        output_stride=16, rngs=nnx.Rngs(0))
+    model.eval()
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    eval_step = make_eval_step(graphdef, num_classes=6)
+
+    images, labels = _batch(n=8, hw=33, classes=6)
+    cm0 = jnp.zeros((6, 6), jnp.int32)
+
+    cm_rep, _ = eval_step(params, rest, (images, labels), cm0)
+
+    sharding = NamedSharding(mesh, P("data"))
+    sb = (jax.device_put(images, sharding), jax.device_put(labels, sharding))
+    cm_sh, preds = eval_step(params, rest, sb, cm0)
+
+    np.testing.assert_array_equal(np.asarray(cm_rep), np.asarray(cm_sh))
+    assert int(np.asarray(cm_sh).sum()) == labels.size
+    assert preds.shape == labels.shape
