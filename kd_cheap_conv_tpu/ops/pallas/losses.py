@@ -251,10 +251,11 @@ fused_ce_kl_loss.defvjp(_fwd_rule, _bwd_rule)
 
 
 def _shmap(fn, mesh, in_specs, out_specs):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
-    return shard_map(fn, mesh, in_specs=in_specs, out_specs=out_specs,
-                     check_rep=False)
+    # jax.shard_map (v0.8+) renamed check_rep -> check_vma
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_vma=False)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
