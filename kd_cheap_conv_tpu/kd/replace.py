@@ -88,14 +88,14 @@ class AtrousSeparableConvolution(nnx.Module):
         if self._fusable and self._fits_vmem(x):
             from ..ops.pallas import fused_separable_conv
 
-            dw = self.depthwise.kernel.value
-            pw = self.pointwise.kernel.value
+            dw = self.depthwise.kernel[...]
+            pw = self.pointwise.kernel[...]
             dtype = self.depthwise.dtype
             if dtype is not None:
                 x, dw, pw = x.astype(dtype), dw.astype(dtype), pw.astype(dtype)
             y = fused_separable_conv(x, dw, pw, self.depthwise.dilation[0])
             if self.pointwise.bias is not None:
-                y = y + self.pointwise.bias.value.astype(y.dtype)
+                y = y + self.pointwise.bias[...].astype(y.dtype)
             return y
         return self.pointwise(self.depthwise(x))
 
@@ -121,11 +121,11 @@ def _separable_from(conv: Conv2d, spec: CheapConvSpec, rngs: nnx.Rngs):
         use_bias=conv.bias is not None, dtype=conv.dtype, rngs=rngs,
     )
     if spec.init == "factorize":
-        d, p = _factorize(np.asarray(conv.kernel.value, np.float32))
-        new.depthwise.kernel.value = jnp.asarray(d)
-        new.pointwise.kernel.value = jnp.asarray(p)
+        d, p = _factorize(np.asarray(conv.kernel[...], np.float32))
+        new.depthwise.kernel[...] = jnp.asarray(d)
+        new.pointwise.kernel[...] = jnp.asarray(p)
     if conv.bias is not None:
-        new.pointwise.bias.value = conv.bias.value
+        new.pointwise.bias[...] = conv.bias[...]
     return new
 
 
@@ -138,13 +138,13 @@ def _grouped_from(conv: Conv2d, spec: CheapConvSpec, rngs: nnx.Rngs):
                  padding=conv.padding, dilation=conv.dilation, groups=g,
                  use_bias=conv.bias is not None, dtype=conv.dtype, rngs=rngs)
     if spec.init == "factorize":
-        w = np.asarray(conv.kernel.value, np.float32)  # (kh,kw,ci,co)
+        w = np.asarray(conv.kernel[...], np.float32)  # (kh,kw,ci,co)
         cig, cog = ci // g, co // g
         blocks = [w[:, :, j * cig:(j + 1) * cig, j * cog:(j + 1) * cog]
                   for j in range(g)]
-        new.kernel.value = jnp.asarray(np.concatenate(blocks, axis=-1))
+        new.kernel[...] = jnp.asarray(np.concatenate(blocks, axis=-1))
     if conv.bias is not None:
-        new.bias.value = conv.bias.value
+        new.bias[...] = conv.bias[...]
     return new
 
 

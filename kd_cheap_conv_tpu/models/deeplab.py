@@ -61,23 +61,23 @@ class DeepLabHeadV3Plus(nnx.Module):
         from ..ops.pallas.decoder import fused_decoder_head
 
         sep = self.fuse.conv
-        kv = sep.depthwise.kernel.value
+        kv = sep.depthwise.kernel[...]
         p = {
             "k": jnp.transpose(kv[:, :, 0, :], (2, 0, 1)).reshape(
                 kv.shape[3], 9),
-            "pw": sep.pointwise.kernel.value[0, 0].T,
-            "g": self.fuse.bn.scale.value,
-            "b": self.fuse.bn.bias.value,
-            "wc": self.classifier.kernel.value[0, 0].T,
-            "bc": self.classifier.bias.value,
+            "pw": sep.pointwise.kernel[...][0, 0].T,
+            "g": self.fuse.bn.scale[...],
+            "b": self.fuse.bn.bias[...],
+            "wc": self.classifier.kernel[...][0, 0].T,
+            "bc": self.classifier.bias[...],
         }
         xc = jnp.transpose(xcat, (0, 1, 3, 2))        # NHWC -> NHCW
         logits, (m, v) = fused_decoder_head(xc, p, float(self.fuse.bn.epsilon),
                                             config.pallas_interpret_mode())
         bn = self.fuse.bn
         mom = bn.momentum
-        bn.mean.value = mom * bn.mean.value + (1.0 - mom) * m
-        bn.var.value = mom * bn.var.value + (1.0 - mom) * v
+        bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m
+        bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
         return jnp.transpose(logits, (0, 1, 3, 2))    # NHCW -> NHWC
 
     def __call__(self, features: dict, *, return_features: bool = False):

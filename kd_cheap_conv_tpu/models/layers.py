@@ -73,8 +73,8 @@ class Conv2d(nnx.Module):
         )
 
     def __call__(self, x):
-        w = self.kernel.value
-        b = self.bias.value if self.bias is not None else None
+        w = self.kernel[...]
+        b = self.bias[...] if self.bias is not None else None
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)

@@ -128,11 +128,11 @@ class MobileNetV2(nnx.Module):
         # modules inside features[1..2] — fall back to the stock path then
         try:
             f1, f2 = self.features[1], self.features[2]
-            return (f1.body[0].conv.kernel.value.shape[2] == 1
-                    and f1.pw_linear.kernel.value.shape[:2] == (1, 1)
-                    and f2.body[0].conv.kernel.value.shape[:2] == (1, 1)
-                    and f2.body[1].conv.kernel.value.shape[2] == 1
-                    and f2.pw_linear.kernel.value.shape[:2] == (1, 1)
+            return (f1.body[0].conv.kernel[...].shape[2] == 1
+                    and f1.pw_linear.kernel[...].shape[:2] == (1, 1)
+                    and f2.body[0].conv.kernel[...].shape[:2] == (1, 1)
+                    and f2.body[1].conv.kernel[...].shape[2] == 1
+                    and f2.pw_linear.kernel[...].shape[:2] == (1, 1)
                     and not f1.use_res_connect and not f2.use_res_connect)
         except AttributeError:
             return False
@@ -149,7 +149,7 @@ class MobileNetV2(nnx.Module):
         from ..ops.pallas.stem import fused_stem_f1f2
 
         f0, f1, f2 = self.features[0], self.features[1], self.features[2]
-        w0 = f0.conv.kernel.value
+        w0 = f0.conv.kernel[...]
         if f0.conv.dtype is not None:
             x = x.astype(f0.conv.dtype)
             w0 = w0.astype(f0.conv.dtype)
@@ -162,23 +162,23 @@ class MobileNetV2(nnx.Module):
             kv.shape[3], 9)
         pw = lambda kv: kv[0, 0].T
         p = {
-            "k1": dw(f1.body[0].conv.kernel.value),
-            "w1": pw(f1.pw_linear.kernel.value),
-            "w2": pw(f2.body[0].conv.kernel.value),
-            "k2": dw(f2.body[1].conv.kernel.value),
-            "w3": pw(f2.pw_linear.kernel.value),
+            "k1": dw(f1.body[0].conv.kernel[...]),
+            "w1": pw(f1.pw_linear.kernel[...]),
+            "w2": pw(f2.body[0].conv.kernel[...]),
+            "k2": dw(f2.body[1].conv.kernel[...]),
+            "w3": pw(f2.pw_linear.kernel[...]),
         }
         bns = [f0.bn, f1.body[0].bn, f1.pw_bn, f2.body[0].bn,
                f2.body[1].bn, f2.pw_bn]
         for i, bn in enumerate(bns):
-            p[f"g{i}"] = bn.scale.value
-            p[f"b{i}"] = bn.bias.value
+            p[f"g{i}"] = bn.scale[...]
+            p[f"b{i}"] = bn.bias[...]
         out, stats = fused_stem_f1f2(a0, p, float(f0.bn.epsilon),
                                      config.pallas_interpret_mode())
         for bn, (m, v) in zip(bns, stats):
             mom = bn.momentum
-            bn.mean.value = mom * bn.mean.value + (1.0 - mom) * m
-            bn.var.value = mom * bn.var.value + (1.0 - mom) * v
+            bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m
+            bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
         return out
 
     def __call__(self, x):

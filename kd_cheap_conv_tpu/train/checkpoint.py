@@ -172,10 +172,10 @@ def import_torch_state_dict(model: nnx.Module, state_dict: dict, *,
             arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
         elif kind == "linear_kernel":
             arr = arr.T
-        if leaf.value.shape != arr.shape:
-            missing.append(f"{key} (shape {arr.shape} vs {leaf.value.shape})")
+        if leaf[...].shape != arr.shape:
+            missing.append(f"{key} (shape {arr.shape} vs {leaf[...].shape})")
             continue
-        leaf.value = jnp.asarray(arr)
+        leaf[...] = jnp.asarray(arr)
         loaded += 1
     if strict and missing:
         raise ValueError(f"unmapped torch keys: {missing[:10]}...")

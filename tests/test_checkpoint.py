@@ -152,7 +152,7 @@ def test_torch_import_full_model_keys():
     sd = {}
     for path, (var, kind) in _iter_params(model):
         key = ".".join(str(p) for p in path)
-        arr = np.asarray(var.value)
+        arr = np.asarray(var[...])
         if kind == "conv_kernel":
             arr = arr.transpose(3, 2, 0, 1)
         elif kind == "linear_kernel":

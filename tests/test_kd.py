@@ -53,7 +53,7 @@ def test_separable_factorization_approximates_rank1_kernel():
     conv = Conv2d(4, 8, 3, padding=1, use_bias=True, rngs=rngs)
     d = RNG.randn(3, 3, 4)
     p = RNG.randn(4, 8)
-    conv.kernel.value = jnp.asarray(
+    conv.kernel[...] = jnp.asarray(
         d[:, :, :, None] * p[None, None], jnp.float32
     )
     holder = nnx.Dict(conv=conv)
@@ -75,7 +75,7 @@ def test_grouped_replacement_runs_and_inherits_blockdiag():
     replace_cheap_convs(holder, CheapConvSpec(kind="grouped", groups=4))
     new = holder["conv"]
     assert new.groups == 4
-    assert new.kernel.value.shape == (3, 3, 2, 16)
+    assert new.kernel[...].shape == (3, 3, 2, 16)
     x = jnp.asarray(RNG.randn(1, 9, 9, 8), jnp.float32)
     assert new(x).shape == (1, 9, 9, 16)
 

@@ -130,9 +130,9 @@ def test_fused_decoder_module_integration():
         assert bad.mean() <= 5e-3, f"{bad.sum()}/{bad.size} grads off"
     bn = fused.classifier.fuse.bn
     bn_ref = ref.classifier.fuse.bn
-    np.testing.assert_allclose(np.asarray(bn.mean.value),
-                               np.asarray(bn_ref.mean.value),
+    np.testing.assert_allclose(np.asarray(bn.mean[...]),
+                               np.asarray(bn_ref.mean[...]),
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(bn.var.value),
-                               np.asarray(bn_ref.var.value),
+    np.testing.assert_allclose(np.asarray(bn.var[...]),
+                               np.asarray(bn_ref.var[...]),
                                rtol=1e-4, atol=1e-5)

@@ -160,11 +160,11 @@ def test_fused_stem_module_integration():
         for seg in path:
             br = br[seg] if isinstance(seg, int) else getattr(br, seg)
             bf = bf[seg] if isinstance(seg, int) else getattr(bf, seg)
-        np.testing.assert_allclose(np.asarray(bf.mean.value),
-                                   np.asarray(br.mean.value),
+        np.testing.assert_allclose(np.asarray(bf.mean[...]),
+                                   np.asarray(br.mean[...]),
                                    rtol=1e-4, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(bf.var.value),
-                                   np.asarray(br.var.value),
+        np.testing.assert_allclose(np.asarray(bf.var[...]),
+                                   np.asarray(br.var[...]),
                                    rtol=1e-4, atol=1e-5)
 
 
