@@ -204,7 +204,7 @@ def _pad_h(x, p, th):
     h = x.shape[1]
     nh = pl.cdiv(h, th)
     w = x.shape[2]
-    wpad = (k_ := 0) or ((_wwin(w) - w) + p)   # window overhang + right pad
+    wpad = (_wwin(w) - w) + p   # window overhang + right pad
     return jnp.pad(x, ((0, 0), (p, nh * th + p - h), (p, wpad), (0, 0)))
 
 
@@ -234,7 +234,10 @@ def _dw_bwd_rule(k, dilation, interpret, res, g):
     xp, kr = res
     p = dilation * (k - 1) // 2
     H = g.shape[1]
-    th = _pick_th(H, xp.shape[2], xp.shape[3], xp.dtype.itemsize)
+    # re-derive the forward's exact tile choice from the UNPADDED dims (g has
+    # x's shape for this shape-preserving conv) — xp's bottom padding was
+    # sized for that th, so the dk windows (indexed j*th over xp) need it
+    th = _pick_th(H, g.shape[2], g.shape[3], xp.dtype.itemsize)
     gp = _pad_h(g, p, th)
     # dx: conv of g with flipped kernel (same windowed structure)
     n, hp, wp, c = gp.shape

@@ -105,6 +105,11 @@ def restore_train_state(path: str, state):
         "best_score": np.zeros((), np.float32),
     }
     restored = load_checkpoint(path, target=target)
+    # Snapshot leaf shardings BEFORE _fill_from_pure: it mutates the live
+    # States in place, so reading placement from `state` afterwards would see
+    # the restored (host/device-0) arrays, not the init'd placement.
+    init_shardings = jax.tree.map(lambda leaf: getattr(leaf, "sharding", None),
+                                  state)
     new_params = _fill_from_pure(state.params, restored["model_state"]["params"])
     new_rest = _fill_from_pure(state.rest, restored["model_state"]["rest"])
     new_opt = jax.tree.map(jnp.asarray, restored["optimizer_state"])
@@ -112,16 +117,15 @@ def restore_train_state(path: str, state):
         params=new_params, rest=new_rest, opt_state=new_opt,
         step=jnp.asarray(restored["cur_itrs"], jnp.int32))
 
-    def _placed_like(old, new):
+    def _placed_like(sharding, new):
         """Match the init'd state's placement. Orbax restores COMMITTED
         device-0 arrays; feeding those to a jitted step whose batch is
         sharded over the mesh fails with incompatible-devices. If the fresh
-        state leaf carries a mesh (Named) sharding, place there explicitly;
+        state leaf carried a mesh (Named) sharding, place there explicitly;
         otherwise hand back host numpy — uncommitted, so jit replicates it
         exactly like the freshly-initialized state."""
         from jax.sharding import NamedSharding
 
-        sharding = getattr(old, "sharding", None)
         if isinstance(sharding, NamedSharding):
             return jax.device_put(jnp.asarray(new), sharding)
         try:
@@ -132,7 +136,10 @@ def restore_train_state(path: str, state):
             return jax.random.wrap_key_data(data,
                                             impl=jax.random.key_impl(new))
 
-    new_state = jax.tree.map(_placed_like, state, new_state)
+    # is_leaf: sharding-snapshot leaves may be None (non-array leaves), which
+    # pytree flattening would otherwise treat as an empty subtree
+    new_state = jax.tree.map(_placed_like, init_shardings, new_state,
+                             is_leaf=lambda x: x is None)
     return new_state, float(restored["best_score"])
 
 
