@@ -51,12 +51,34 @@ def fuse_upsample_into_loss_enabled() -> bool:
     return bool(fuse_upsample_into_loss)
 
 
+# Active data-parallel mesh for model-internal Pallas fast paths.
+#
+# pallas_call has no GSPMD partitioning rule, so kernels that live INSIDE the
+# model forward (the fused stem) must be wrapped in shard_map when the step
+# runs SPMD over a mesh. The mesh can't be threaded through the nnx module
+# call chain without polluting every __call__ signature, so the step builders
+# (train.steps, bench, dryrun) register it here and model code reads it at
+# TRACE time (jit traces once; the captured mesh is static).
+_active_mesh = None
+
+
+def set_active_mesh(mesh) -> None:
+    """Register the 1-D data mesh the jitted step shards over (None to
+    clear). Call BEFORE the first step invocation (trace time)."""
+    global _active_mesh
+    _active_mesh = mesh
+
+
+def active_mesh():
+    return _active_mesh
+
+
 # Fused Pallas MobileNetV2 stem (ops.pallas.stem): runs features[1..2] as
 # channel-sublane Pallas passes in training mode. v2 (uniform padded
 # layout, zero XLA glue between passes) measured 68.6ms vs 72.1 at
-# b16/513² (222 -> 233 img/s). None = auto: on for single-device TPU
-# (the stem kernels have no shard_map wrapper yet — multi-device uses the
-# stock XLA path). Env: KDCC_PALLAS_STEM=0/1.
+# b16/513² (222 -> 233 img/s). None = auto: on for TPU when single-device
+# OR an active mesh is registered (multi-device runs the shard_map-wrapped
+# variant with psum'd BN moments). Env: KDCC_PALLAS_STEM=0/1.
 use_pallas_stem: bool | None = None
 
 
@@ -70,7 +92,7 @@ def pallas_stem_enabled() -> bool:
         import jax
 
         return (jax.default_backend() in ("tpu", "axon")
-                and jax.device_count() == 1)
+                and (jax.device_count() == 1 or _active_mesh is not None))
     except Exception:
         return False
 

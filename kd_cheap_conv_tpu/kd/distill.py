@@ -113,18 +113,30 @@ def kd_total_loss_small(
     student_taps: dict | None = None,
     teacher_taps: dict | None = None,
     adapters: HintAdapters | None = None,
+    mesh=None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """KD loss from HEAD-RESOLUTION class-major logits (N,C,h,w): the 16x
     bilinear upsample is fused into the Pallas loss kernel, so full-res
     logits never materialize in HBM. Labels are full-res (N,H,W).
-    Semantically identical to upsample -> kd_total_loss (pinned by tests)."""
-    from ..ops.pallas.losses import fused_ce_kl_loss_upsampled
+    Semantically identical to upsample -> kd_total_loss (pinned by tests).
+    With a multi-device `mesh` the kernel runs per-shard under shard_map."""
+    from ..ops.pallas.losses import (fused_ce_kl_loss_upsampled,
+                                     fused_ce_kl_loss_upsampled_sharded)
 
+    from .. import config as _config
+
+    interp = _config.pallas_interpret_mode()
     out_h, out_w = labels.shape[1], labels.shape[2]
-    total, l_task, l_kd = fused_ce_kl_loss_upsampled(
-        s_small, t_small, labels, out_h, out_w,
-        cfg.temperature, cfg.alpha, cfg.beta, 255, cfg.teacher_logit_clip,
-        False)
+    if mesh is not None and jax.device_count() > 1:
+        total, l_task, l_kd = fused_ce_kl_loss_upsampled_sharded(
+            s_small, t_small, labels, mesh, out_h, out_w,
+            cfg.temperature, cfg.alpha, cfg.beta, 255,
+            cfg.teacher_logit_clip, interp)
+    else:
+        total, l_task, l_kd = fused_ce_kl_loss_upsampled(
+            s_small, t_small, labels, out_h, out_w,
+            cfg.temperature, cfg.alpha, cfg.beta, 255, cfg.teacher_logit_clip,
+            interp)
     l_hint = jnp.zeros((), jnp.float32)
     if cfg.hint_taps:
         assert student_taps is not None and teacher_taps is not None
@@ -167,16 +179,19 @@ def kd_total_loss(
         from ..ops.pallas.losses import (fused_ce_kl_loss,
                                          fused_ce_kl_loss_sharded)
 
+        from .. import config as _config
+
+        interp = _config.pallas_interpret_mode()
         if jax.device_count() > 1:
             total, l_task, l_kd = fused_ce_kl_loss_sharded(
                 student_logits, teacher_logits, labels, mesh,
                 cfg.temperature, cfg.alpha, cfg.beta,
-                255, cfg.teacher_logit_clip, False)
+                255, cfg.teacher_logit_clip, interp)
         else:
             total, l_task, l_kd = fused_ce_kl_loss(
                 student_logits, teacher_logits, labels,
                 cfg.temperature, cfg.alpha, cfg.beta,
-                255, cfg.teacher_logit_clip, False)
+                255, cfg.teacher_logit_clip, interp)
         l_hint = jnp.zeros((), jnp.float32)
         if cfg.hint_taps:
             assert student_taps is not None and teacher_taps is not None

@@ -143,10 +143,11 @@ class MobileNetV2(nnx.Module):
         pass — then features[1..2] via the fused Pallas stem (ops.pallas.stem,
         see its docstring for the why), then running-stat updates with each
         BN's own momentum, exactly like nnx.BatchNorm."""
+        import jax
         import jax.lax as lax
 
         from .. import config
-        from ..ops.pallas.stem import fused_stem_f1f2
+        from ..ops.pallas.stem import fused_stem_f1f2, fused_stem_f1f2_sharded
 
         f0, f1, f2 = self.features[0], self.features[1], self.features[2]
         w0 = f0.conv.kernel[...]
@@ -173,8 +174,15 @@ class MobileNetV2(nnx.Module):
         for i, bn in enumerate(bns):
             p[f"g{i}"] = bn.scale[...]
             p[f"b{i}"] = bn.bias[...]
-        out, stats = fused_stem_f1f2(a0, p, float(f0.bn.epsilon),
-                                     config.pallas_interpret_mode())
+        mesh = config.active_mesh()
+        if mesh is not None and jax.device_count() > 1:
+            # SPMD: shard_map-wrapped passes with psum'd (global) BN moments
+            out, stats = fused_stem_f1f2_sharded(
+                a0, p, mesh, float(f0.bn.epsilon),
+                config.pallas_interpret_mode())
+        else:
+            out, stats = fused_stem_f1f2(a0, p, float(f0.bn.epsilon),
+                                         config.pallas_interpret_mode())
         for bn, (m, v) in zip(bns, stats):
             mom = bn.momentum
             bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m

@@ -276,6 +276,7 @@ def _sh_fwd(s, t, labels, mesh, temperature, alpha, beta, ignore_index,
             teacher_logit_clip, interpret):
     from jax.sharding import PartitionSpec as P
 
+    _note_sharded_trace()
     n, c, h, w = s.shape
     axis = mesh.axis_names[0]
 
@@ -629,14 +630,13 @@ def _up_fwd_rule(s_small, t_small, labels, out_h, out_w, temperature, alpha,
     return (total, task, kd), res
 
 
-def _up_bwd_rule(out_h, out_w, temperature, alpha, beta, ignore_index,
-                 teacher_logit_clip, interpret, res, cts):
-    s_small, t_small, labels, denom = res
+def _up_run_bwd(s_small, t_small, labels, scalars, out_h, out_w, temperature,
+                ignore_index, teacher_logit_clip, interpret):
+    """ds for the upsample-fused loss given folded grad scales. t_small None
+    -> CE-only kernels."""
     n, c, hin, win, th, nh, starts, nw, bd, wc = _up2_prep(
         s_small, out_h, out_w)
-    with_kl = beta != 0.0
-    scalars = _grad_scales(cts, denom, alpha, beta, temperature,
-                           float(n * out_h * out_w))
+    with_kl = t_small is not None
     bdt = jnp.asarray(np.ascontiguousarray(bd.transpose(0, 2, 1)))
     wct = jnp.asarray(np.ascontiguousarray(wc.T))
 
@@ -687,7 +687,18 @@ def _up_bwd_rule(out_h, out_w, temperature, alpha, beta, ignore_index,
         cur = jax.lax.dynamic_slice_in_dim(ds, s0, nw, axis=2)
         ds = jax.lax.dynamic_update_slice_in_dim(ds, cur + dwin[:, j], s0,
                                                  axis=2)
-    ds = ds.astype(s_small.dtype)
+    return ds.astype(s_small.dtype)
+
+
+def _up_bwd_rule(out_h, out_w, temperature, alpha, beta, ignore_index,
+                 teacher_logit_clip, interpret, res, cts):
+    s_small, t_small, labels, denom = res
+    n = s_small.shape[0]
+    scalars = _grad_scales(cts, denom, alpha, beta, temperature,
+                           float(n * out_h * out_w))
+    ds = _up_run_bwd(s_small, t_small if beta != 0.0 else None, labels,
+                     scalars, out_h, out_w, temperature, ignore_index,
+                     teacher_logit_clip, interpret)
     return ds, jnp.zeros_like(t_small), None
 
 
@@ -696,12 +707,118 @@ fused_ce_kl_loss_upsampled.defvjp(_up_fwd_rule, _up_bwd_rule)
 
 def fused_ce_loss_upsampled(s_small, labels, out_h: int, out_w: int,
                             ignore_index: int = 255,
-                            interpret: bool = False):
+                            interpret: bool = False, mesh=None):
     """Plain supervised CE over bilinearly-upsampled class-major logits —
     the reference hot loop's criterion (SURVEY.md §3.1) without ever
     materializing full-res logits. beta=0 statically removes every KL/teacher
-    term from the kernels (the teacher operand isn't even passed)."""
+    term from the kernels (the teacher operand isn't even passed). With a
+    multi-device `mesh`, runs per-shard under shard_map (batch-sharded)."""
+    if mesh is not None:
+        total, task, _ = fused_ce_kl_loss_upsampled_sharded(
+            s_small, s_small, labels, mesh, out_h, out_w, 1.0, 1.0, 0.0,
+            ignore_index, 0.0, interpret)
+        return task
     total, task, _ = fused_ce_kl_loss_upsampled(
         s_small, s_small, labels, out_h, out_w, 1.0, 1.0, 0.0,
         ignore_index, 0.0, interpret)
     return task
+
+
+# ---------------------------------------------------------------------------
+# SPMD upsample-fused variant: same shard_map pattern as
+# fused_ce_kl_loss_sharded — the kernel (and its XLA-side window gather /
+# scatter-add) runs per-shard on the batch-sharded head-resolution logits;
+# only the three partial sums cross shards (psum). The backward is
+# embarrassingly parallel given the global denominators.
+# ---------------------------------------------------------------------------
+
+
+# trace-time evidence counter: dryrun_multichip asserts the sharded fused
+# path actually engaged (incremented when a sharded fwd is TRACED, which
+# happens exactly when the jitted step routes through it)
+_sharded_fused_traces = 0
+
+
+def sharded_fused_trace_count() -> int:
+    return _sharded_fused_traces
+
+
+def _note_sharded_trace():
+    global _sharded_fused_traces
+    _sharded_fused_traces += 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10,
+                                                    11))
+def fused_ce_kl_loss_upsampled_sharded(s_small, t_small, labels, mesh,
+                                       out_h: int, out_w: int,
+                                       temperature: float = 4.0,
+                                       alpha: float = 0.5, beta: float = 0.5,
+                                       ignore_index: int = 255,
+                                       teacher_logit_clip: float = 3e4,
+                                       interpret: bool = False):
+    """fused_ce_kl_loss_upsampled over batch-sharded logits on a 1-D data
+    `mesh`. Same semantics/returns as the single-chip version."""
+    total, (task, kd), _ = _up_sh_fwd(s_small, t_small, labels, mesh, out_h,
+                                      out_w, temperature, alpha, beta,
+                                      ignore_index, teacher_logit_clip,
+                                      interpret)
+    return total, task, kd
+
+
+def _up_sh_fwd(s_small, t_small, labels, mesh, out_h, out_w, temperature,
+               alpha, beta, ignore_index, teacher_logit_clip, interpret):
+    from jax.sharding import PartitionSpec as P
+
+    _note_sharded_trace()
+    n = s_small.shape[0]  # global batch
+    axis = mesh.axis_names[0]
+    with_kl = beta != 0.0
+
+    def local(s, t, lbl):
+        sums = _up_run_fwd(s, t if with_kl else None, lbl, out_h, out_w,
+                           temperature, ignore_index, teacher_logit_clip,
+                           interpret)
+        return jax.lax.psum(sums, axis)
+
+    sums = _shmap(local, mesh, (P(axis), P(axis), P(axis)),
+                  P())(s_small, t_small, labels)
+    denom = jnp.maximum(sums[1], 1.0)
+    npix = float(n * out_h * out_w)
+    task = sums[0] / denom
+    kd = (temperature ** 2) * sums[2] / npix
+    total = alpha * task + beta * kd
+    return total, (task, kd), (s_small, t_small, labels, denom)
+
+
+def _up_sh_fwd_rule(s_small, t_small, labels, mesh, out_h, out_w, temperature,
+                    alpha, beta, ignore_index, teacher_logit_clip, interpret):
+    total, (task, kd), res = _up_sh_fwd(s_small, t_small, labels, mesh, out_h,
+                                        out_w, temperature, alpha, beta,
+                                        ignore_index, teacher_logit_clip,
+                                        interpret)
+    return (total, task, kd), res
+
+
+def _up_sh_bwd_rule(mesh, out_h, out_w, temperature, alpha, beta,
+                    ignore_index, teacher_logit_clip, interpret, res, cts):
+    from jax.sharding import PartitionSpec as P
+
+    s_small, t_small, labels, denom = res
+    n = s_small.shape[0]
+    axis = mesh.axis_names[0]
+    with_kl = beta != 0.0
+    scalars = _grad_scales(cts, denom, alpha, beta, temperature,
+                           float(n * out_h * out_w))
+
+    def local(s, t, lbl, scal):
+        return _up_run_bwd(s, t if with_kl else None, lbl, scal, out_h,
+                           out_w, temperature, ignore_index,
+                           teacher_logit_clip, interpret)
+
+    ds = _shmap(local, mesh, (P(axis), P(axis), P(axis), P()),
+                P(axis))(s_small, t_small, labels, scalars)
+    return ds, jnp.zeros_like(t_small), None
+
+
+fused_ce_kl_loss_upsampled_sharded.defvjp(_up_sh_fwd_rule, _up_sh_bwd_rule)

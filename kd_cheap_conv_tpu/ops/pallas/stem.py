@@ -267,9 +267,14 @@ def _bn_pack(mean, var, gamma, beta):
     return jnp.stack([mean, var, gamma, beta], axis=1).astype(jnp.float32)
 
 
-def _moments(sums, count):
+def _moments(sums, count, axis=None):
+    """Batch moments from per-image [sum, sumsq] tiles. `axis` (shard_map
+    axis name) psums the partials so each shard sees GLOBAL moments — the
+    SPMD equivalent of sync-BN; `count` must then be the global count."""
     s = sums[:, :, 0].sum(0)
     s2 = sums[:, :, 1].sum(0)
+    if axis is not None:
+        s, s2 = jax.lax.psum((s, s2), axis)
     mean = s / count
     var = s2 / count - mean * mean
     return mean, var
@@ -300,7 +305,8 @@ def _stats_out(c):
                         memory_space=pltpu.VMEM)
 
 
-def _run_bn_dw(x, bn, k, H, relu, eps, interpret, out_dtype):
+def _run_bn_dw(x, bn, k, H, relu, eps, interpret, out_dtype,
+               axis=None, nsh=1):
     """x (N,R,C,W) padded pre-BN; returns (y padded, mean, var of y)."""
     n, R, c, w = x.shape
     nh = pl.cdiv(H, BH)
@@ -314,11 +320,12 @@ def _run_bn_dw(x, bn, k, H, relu, eps, interpret, out_dtype):
         interpret=interpret,
         compiler_params=_CP,
     )(x, bn, k)
-    mean, var = _moments(sums, float(n * H * w))
+    mean, var = _moments(sums, float(n * H * w) * nsh, axis)
     return y, mean, var
 
 
-def _run_bn_pw(x, bn, w2, H, relu, eps, interpret, out_dtype):
+def _run_bn_pw(x, bn, w2, H, relu, eps, interpret, out_dtype,
+               axis=None, nsh=1):
     """x (N,R,Ci,W) padded; w2 (Co,Ci); returns (y padded, mean, var)."""
     n, R, ci, w = x.shape
     co = w2.shape[0]
@@ -333,11 +340,12 @@ def _run_bn_pw(x, bn, w2, H, relu, eps, interpret, out_dtype):
         interpret=interpret,
         compiler_params=_CP,
     )(x, bn, w2)
-    mean, var = _moments(sums, float(n * H * w))
+    mean, var = _moments(sums, float(n * H * w) * nsh, axis)
     return y, mean, var
 
 
-def _run_bn_dw_s2(x, bn, k, Hin, R2, eps, interpret, out_dtype):
+def _run_bn_dw_s2(x, bn, k, Hin, R2, eps, interpret, out_dtype,
+                  axis=None, nsh=1):
     """x (N,R,C,Win) padded pre-BN; stride-2 dw; returns (y (N,R2,C,Wout)
     padded, mean, var). Hout = (Hin+1)//2, Wout = (Win+1)//2 (pad-1)."""
     n, R, c, win = x.shape
@@ -363,7 +371,7 @@ def _run_bn_dw_s2(x, bn, k, Hin, R2, eps, interpret, out_dtype):
         interpret=interpret,
         compiler_params=_CP,
     )(xp, bn, k, *sels)
-    mean, var = _moments(sums, float(n * hout * wout))
+    mean, var = _moments(sums, float(n * hout * wout) * nsh, axis)
     return y, mean, var
 
 
@@ -739,27 +747,33 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, eps, interpret, gdt):
 # public entry: fused f1+f2 with custom VJP
 # ---------------------------------------------------------------------------
 
-def _stem_fwd(a0, p, eps, interpret):
-    """a0: (N, H, C, W) channel-sublane, unpadded. Returns (out NHWC,
-    stats, padded residual activations)."""
+def _stem_fwd(a0, p, eps, interpret, axis=None, nsh=1):
+    """a0: (N, H, C, W) channel-sublane, unpadded (LOCAL shard under
+    shard_map — `axis`/`nsh` then make every BN moment global, sync-BN
+    style). Returns (out NHWC, stats, padded residual activations)."""
     n, H, c0, W = a0.shape
     dt = a0.dtype
     nh, H2, nh2, R, R2 = _geom(H)
     a0p = jnp.pad(a0, ((0, 0), (PAD, R - PAD - H), (0, 0), (0, 0)))
     # bn0 batch moments in XLA — fuses with the producing conv epilogue
     a0f = a0.astype(jnp.float32)
-    m0 = a0f.mean(axis=(0, 1, 3))
-    v0 = (a0f * a0f).mean(axis=(0, 1, 3)) - m0 * m0
+    s0m = a0f.sum(axis=(0, 1, 3))
+    s0s2 = (a0f * a0f).sum(axis=(0, 1, 3))
+    if axis is not None:
+        s0m, s0s2 = jax.lax.psum((s0m, s0s2), axis)
+    cnt0 = float(n * H * W) * nsh
+    m0 = s0m / cnt0
+    v0 = s0s2 / cnt0 - m0 * m0
     a1, m1, v1 = _run_bn_dw(a0p, _bn_pack(m0, v0, p["g0"], p["b0"]),
-                            p["k1"], H, True, eps, interpret, dt)
+                            p["k1"], H, True, eps, interpret, dt, axis, nsh)
     a2, m2, v2 = _run_bn_pw(a1, _bn_pack(m1, v1, p["g1"], p["b1"]),
-                            p["w1"], H, True, eps, interpret, dt)
+                            p["w1"], H, True, eps, interpret, dt, axis, nsh)
     a3, m3, v3 = _run_bn_pw(a2, _bn_pack(m2, v2, p["g2"], p["b2"]),
-                            p["w2"], H, False, eps, interpret, dt)
+                            p["w2"], H, False, eps, interpret, dt, axis, nsh)
     a4, m4, v4 = _run_bn_dw_s2(a3, _bn_pack(m3, v3, p["g3"], p["b3"]),
-                               p["k2"], H, R2, eps, interpret, dt)
+                               p["k2"], H, R2, eps, interpret, dt, axis, nsh)
     a5, m5, v5 = _run_bn_pw(a4, _bn_pack(m4, v4, p["g4"], p["b4"]),
-                            p["w3"], H2, True, eps, interpret, dt)
+                            p["w3"], H2, True, eps, interpret, dt, axis, nsh)
     # final bn5 + layout exit in XLA (small half-res C=24 tensor)
     a5v = a5[:, PAD:PAD + H2]
     inv5 = jax.lax.rsqrt(v5 + eps)
@@ -794,9 +808,14 @@ def _stem_fwd_rule(a0, p, eps, interpret):
     return (out, stats), (p, stats, acts, a0.shape)
 
 
-def _stem_bwd_rule(eps, interpret, res, cts):
-    p, stats, acts, a0_shape = res
-    g_out = cts[0]                                   # stats cotangents unused
+def _stem_bwd_impl(p, stats, acts, a0_shape, g_out, eps, interpret,
+                   axis=None, nsh=1):
+    """Backward body over LOCAL shards. Under shard_map (`axis` set) every
+    per-channel BN sum and weight grad is psum'd — the BN train-mode
+    backward couples all images of the (global) batch, so the s* totals must
+    be global before they feed the next link's _bn_bwd_apply."""
+    g_psum = ((lambda v: jax.lax.psum(v, axis)) if axis is not None
+              else (lambda v: v))
     a0p, a1, a2, a3, a4, a5 = acts
     dt = a0p.dtype
     (m0, v0), (m1, v1), (m2, v2), (m3, v3), (m4, v4), (m5, v5) = stats
@@ -810,9 +829,9 @@ def _stem_bwd_rule(eps, interpret, res, cts):
     a5v = a5[:, PAD:PAD + H2].astype(jnp.float32)
     inv5 = jax.lax.rsqrt(v5 + eps)
     xh5 = (a5v - m5[None, None, :, None]) * inv5[None, None, :, None]
-    M5 = float(n * H2 * W2)
-    sg5 = gz.sum(axis=(0, 1, 3))
-    sgx5 = (gz * xh5).sum(axis=(0, 1, 3))
+    M5 = float(n * H2 * W2) * nsh
+    sg5 = g_psum(gz.sum(axis=(0, 1, 3)))
+    sgx5 = g_psum((gz * xh5).sum(axis=(0, 1, 3)))
     ga5 = (p["g5"] * inv5)[None, None, :, None] * (
         gz - (sg5 / M5)[None, None, :, None]
         - xh5 * (sgx5 / M5)[None, None, :, None])
@@ -824,41 +843,49 @@ def _stem_bwd_rule(eps, interpret, res, cts):
     bn4 = _bn_pack(m4, v4, p["g4"], p["b4"])
     gy4, s4, dW3 = _run_pw_bwd(ga5p, a5, a4, pn_id, bn4, p["w3"],
                                H2, True, eps, interpret, dt)
+    s4 = g_psum(s4)
 
     # dw2 stride-2 link (bn3 relu6 -> dw s2)
-    pn4 = _bnbwd_pack(m4, v4, p["g4"], s4[:, 0], s4[:, 1],
-                      float(n * H2 * W2))
+    pn4 = _bnbwd_pack(m4, v4, p["g4"], s4[:, 0], s4[:, 1], M5)
     bn3 = _bn_pack(m3, v3, p["g3"], p["b3"])
     gy3, s3, dk2 = _run_dw_s2_bwd(gy4, a4, a3, pn4, bn3, p["k2"],
                                   H, eps, interpret, dt)
+    s3 = g_psum(s3)
 
+    M = float(n * H * W) * nsh
     # pw2 link (bn2 -> pw2)
-    pn3 = _bnbwd_pack(m3, v3, p["g3"], s3[:, 0], s3[:, 1], float(n * H * W))
+    pn3 = _bnbwd_pack(m3, v3, p["g3"], s3[:, 0], s3[:, 1], M)
     bn2 = _bn_pack(m2, v2, p["g2"], p["b2"])
     gy2, s2, dW2 = _run_pw_bwd(gy3, a3, a2, pn3, bn2, p["w2"],
                                H, False, eps, interpret, dt)
+    s2 = g_psum(s2)
 
     # pw1 link (bn1 relu6 -> pw1)
-    pn2 = _bnbwd_pack(m2, v2, p["g2"], s2[:, 0], s2[:, 1], float(n * H * W))
+    pn2 = _bnbwd_pack(m2, v2, p["g2"], s2[:, 0], s2[:, 1], M)
     bn1 = _bn_pack(m1, v1, p["g1"], p["b1"])
     gy1, s1, dW1 = _run_pw_bwd(gy2, a2, a1, pn2, bn1, p["w1"],
                                H, True, eps, interpret, dt)
+    s1 = g_psum(s1)
 
     # dw1 link (bn0 relu6 -> dw1)
-    pn1 = _bnbwd_pack(m1, v1, p["g1"], s1[:, 0], s1[:, 1], float(n * H * W))
+    pn1 = _bnbwd_pack(m1, v1, p["g1"], s1[:, 0], s1[:, 1], M)
     bn0 = _bn_pack(m0, v0, p["g0"], p["b0"])
     gy0, s0, dk1 = _run_dw_bwd(gy1, a1, a0p, pn1, bn0, p["k1"],
                                H, eps, interpret, dt)
+    s0 = g_psum(s0)
+
+    if axis is not None:
+        dW1, dW2, dW3, dk1, dk2 = jax.lax.psum((dW1, dW2, dW3, dk1, dk2),
+                                               axis)
 
     # bn0 backward in XLA on the unpadded slice
     gy0v = gy0[:, PAD:PAD + H].astype(jnp.float32)
     a0v = a0p[:, PAD:PAD + H].astype(jnp.float32)
     inv0 = jax.lax.rsqrt(v0 + eps)
     xh0 = (a0v - m0[None, None, :, None]) * inv0[None, None, :, None]
-    M0 = float(n * H * W)
     ga0 = (p["g0"] * inv0)[None, None, :, None] * (
-        gy0v - (s0[:, 0] / M0)[None, None, :, None]
-        - xh0 * (s0[:, 1] / M0)[None, None, :, None])
+        gy0v - (s0[:, 0] / M)[None, None, :, None]
+        - xh0 * (s0[:, 1] / M)[None, None, :, None])
     da0 = ga0.astype(dt)
 
     dp = {
@@ -881,4 +908,88 @@ def _stem_bwd_rule(eps, interpret, res, cts):
     return da0, dp
 
 
+def _stem_bwd_rule(eps, interpret, res, cts):
+    p, stats, acts, a0_shape = res
+    g_out = cts[0]                                   # stats cotangents unused
+    return _stem_bwd_impl(p, stats, acts, a0_shape, g_out, eps, interpret)
+
+
 fused_stem_f1f2.defvjp(_stem_fwd_rule, _stem_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# SPMD variant: the same passes wrapped in shard_map over a 1-D data mesh
+# (pallas_call has no GSPMD partitioning rule). Forward psums the per-pass
+# batch moments — sync-BN over the global batch, numerically identical to
+# the single-device kernel on the unsharded batch; backward psums the BN
+# totals and weight grads (SURVEY.md §2.5 "sync-BN across mesh via pmean
+# of batch moments").
+# ---------------------------------------------------------------------------
+
+
+def _shmap(fn, mesh, in_specs, out_specs):
+    from jax import shard_map
+
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_vma=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_stem_f1f2_sharded(a0, params, mesh, eps: float = 1e-5,
+                            interpret: bool = False):
+    """fused_stem_f1f2 over a batch-sharded a0 on `mesh` (1-D data mesh);
+    params replicated. Same returns; BN stats are GLOBAL batch moments."""
+    (out, stats), _ = _sh_stem_fwd(a0, params, mesh, eps, interpret)
+    return out, stats
+
+
+def _sh_specs(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    return axis, P(axis), P()
+
+
+# trace-time evidence counter (see ops.pallas.losses.sharded_fused_trace_count)
+_sharded_stem_traces = 0
+
+
+def sharded_stem_trace_count() -> int:
+    return _sharded_stem_traces
+
+
+def _sh_stem_fwd(a0, params, mesh, eps, interpret):
+    global _sharded_stem_traces
+    _sharded_stem_traces += 1
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+    n_local = a0.shape[0] // nsh
+    local_shape = (n_local,) + a0.shape[1:]
+
+    def local(a0, p):
+        return _stem_fwd(a0, p, eps, interpret, axis, nsh)
+
+    out, stats, acts = _shmap(local, mesh, (Pd, Pr), (Pd, Pr, Pd))(a0, params)
+    return (out, stats), (params, stats, acts, local_shape)
+
+
+def _sh_stem_fwd_rule(a0, params, mesh, eps, interpret):
+    return _sh_stem_fwd(a0, params, mesh, eps, interpret)
+
+
+def _sh_stem_bwd_rule(mesh, eps, interpret, res, cts):
+    p, stats, acts, local_shape = res
+    g_out = cts[0]
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+
+    def local(p, stats, acts, g_out):
+        return _stem_bwd_impl(p, stats, acts, local_shape, g_out, eps,
+                              interpret, axis, nsh)
+
+    da0, dp = _shmap(local, mesh, (Pr, Pr, Pd, Pd),
+                     (Pd, Pr))(p, stats, acts, g_out)
+    return da0, dp
+
+
+fused_stem_f1f2_sharded.defvjp(_sh_stem_fwd_rule, _sh_stem_bwd_rule)

@@ -45,20 +45,20 @@ def validate(model: nnx.Module, loader: Iterator, *, num_classes: int,
     """Run eval over a loader; returns StreamSegMetrics results dict.
 
     Accepts either a live model (split here) or a prebuilt (eval_step, state).
-    The confusion matrix accumulates on device; one D2H at the end.
+    Per-batch int32 counts accumulate into an int64 host matrix (overflow-
+    safe for arbitrarily long eval streams; TPUs have no int64).
     """
-    import jax.numpy as jnp
-
     if eval_step is None:
         model.eval()
         graphdef, params, rest = nnx.split(model, nnx.Param, ...)
         eval_step = make_eval_step(graphdef, num_classes=num_classes)
         state = (params, rest)
     params, rest = state
-    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+    cm = np.zeros((num_classes, num_classes), np.int64)
     for batch in loader:
-        cm, _ = eval_step(params, rest, batch, cm)
-    return StreamSegMetrics.from_confusion_matrix(np.asarray(cm))
+        counts, _ = eval_step(params, rest, batch)
+        cm += np.asarray(counts)
+    return StreamSegMetrics.from_confusion_matrix(cm)
 
 
 def train_loop(

@@ -47,11 +47,12 @@ def _task_fn(loss_type: str) -> Callable:
 
 
 def make_train_step(model: nnx.Module, tx: optax.GradientTransformation, *,
-                    loss_type: str = "cross_entropy"):
+                    loss_type: str = "cross_entropy", mesh=None):
     """Plain supervised step (reference main.py hot loop, SURVEY.md §3.1).
 
     Returns (init_state_fn, step_fn). step_fn: (state, (images, labels)) ->
-    (state, metrics dict).
+    (state, metrics dict). Pass the data `mesh` when running SPMD so the
+    fused loss path stays engaged (shard_map-wrapped kernel).
     """
     graphdef, params0, rest0 = _split_train(model)
     task = _task_fn(loss_type)
@@ -62,7 +63,9 @@ def make_train_step(model: nnx.Module, tx: optax.GradientTransformation, *,
     from .. import config as _config
     use_fused_ce = (loss_type == "cross_entropy"
                     and _config.pallas_separable_enabled()
-                    and jax.device_count() == 1)
+                    and _config.fuse_upsample_into_loss_enabled()
+                    and (jax.device_count() == 1 or mesh is not None))
+    loss_mesh = mesh if jax.device_count() > 1 else None
 
     def init_state() -> TrainState:
         return TrainState(params=params0, rest=rest0,
@@ -80,9 +83,10 @@ def make_train_step(model: nnx.Module, tx: optax.GradientTransformation, *,
                 from ..ops.pallas.losses import fused_ce_loss_upsampled
 
                 small = model(images, class_major=True, upsample=False)
-                return fused_ce_loss_upsampled(small, labels,
-                                               labels.shape[1],
-                                               labels.shape[2])
+                return fused_ce_loss_upsampled(
+                    small, labels, labels.shape[1], labels.shape[2],
+                    interpret=_config.pallas_interpret_mode(),
+                    mesh=loss_mesh)
             return task(model(images, class_major=True), labels,
                         channel_axis=1)
 
@@ -146,14 +150,15 @@ def make_kd_train_step(
 
     need_taps = bool(cfg.hint_taps)
     # upsample-fused loss: model emits head-resolution logits; the Pallas
-    # kernel applies the 16x bilinear inside VMEM (static decision; opt-in —
-    # measured slower than resize + flat fused loss at 513², see config)
+    # kernel applies the 16x bilinear inside VMEM. Multi-device runs the
+    # shard_map-wrapped variant (needs the mesh).
     import jax as _jax
 
     from .. import config as _config
-    use_up = (not cached_teacher and fused_loss_applicable(cfg)
-              and _jax.device_count() == 1  # no sharded upsample kernel yet
+    use_up = (not cached_teacher and fused_loss_applicable(cfg, mesh)
+              and (_jax.device_count() == 1 or mesh is not None)
               and _config.fuse_upsample_into_loss_enabled())
+    loss_mesh = mesh if _jax.device_count() > 1 else None
 
     def init_state() -> TrainState:
         # Copy buffers: the step donates its state, and a student built by
@@ -202,7 +207,8 @@ def make_kd_train_step(
             if use_up:
                 return kd_total_loss_small(
                     s_logits, t_logits, labels, cfg,
-                    student_taps=s_taps, teacher_taps=t_taps, adapters=adp)
+                    student_taps=s_taps, teacher_taps=t_taps, adapters=adp,
+                    mesh=loss_mesh)
             return kd_total_loss(
                 s_logits, t_logits, labels, cfg,
                 student_taps=s_taps, teacher_taps=t_taps, adapters=adp,
@@ -229,12 +235,15 @@ def make_kd_train_step(
 
 
 def make_eval_step(model_graphdef, *, num_classes: int):
-    """Eval step: logits -> per-pixel argmax + on-device confusion-matrix
-    partial (SURVEY.md §3.4 — but the matrix accumulates on device, no D2H
-    per batch)."""
+    """Eval step: logits -> per-pixel argmax + per-batch confusion-matrix
+    counts (SURVEY.md §3.4). Counts are int32 on device — exact for any
+    single batch (<= a few 1e7 pixels) — and the CALLER accumulates them into
+    an int64 host matrix: a full Cityscapes val epoch is ~1.05e9 pixels,
+    within 2x of int32 overflow, and repeated evals would silently wrap an
+    on-device int32 accumulator (TPUs have no int64)."""
 
     @jax.jit
-    def eval_step(params, rest, batch, cm):
+    def eval_step(params, rest, batch):
         images, labels = batch
         m = nnx.merge(model_graphdef, params, rest)
         logits = m(images, class_major=True)
@@ -245,6 +254,6 @@ def make_eval_step(model_graphdef, *, num_classes: int):
         idx = jnp.where(valid, labels * num_classes + preds, num_classes * num_classes)
         counts = jnp.bincount(idx.reshape(-1),
                               length=num_classes * num_classes + 1)[:-1]
-        return cm + counts.reshape(num_classes, num_classes), preds
+        return counts.reshape(num_classes, num_classes), preds
 
     return eval_step

@@ -84,6 +84,9 @@ def get_argparser() -> argparse.ArgumentParser:
                    help="comma list of dotted path prefixes to replace")
     p.add_argument("--progressive", action="store_true")
     p.add_argument("--stage_iters", type=int, default=1000)
+    p.add_argument("--stage_lr", type=float, default=0.01,
+                   help="per-stage LR of the progressive schedule "
+                        "(--lr drives only the final fine-tune)")
     p.add_argument("--finetune_iters", type=int, default=5000)
     p.add_argument("--cached_logits", type=str, default=None,
                    help="npz file of cached teacher logits (config #1 mode)")
@@ -187,6 +190,11 @@ def main(argv=None) -> int:
     train_dst, val_dst, num_classes = get_dataset(opts)
     dtype = jnp.bfloat16 if opts.bf16 else None
     mesh = make_mesh()
+    if jax.device_count() > 1:
+        # model-internal Pallas fast paths (fused stem) read this at trace
+        # time and wrap themselves in shard_map over the data mesh
+        from kd_cheap_conv_tpu import config as kdcc_config
+        kdcc_config.set_active_mesh(mesh)
     print(f"Devices: {jax.device_count()} ({jax.devices()[0].platform}); "
           f"mesh={mesh.shape}")
     print(f"Dataset: {opts.dataset}, Train set: {len(train_dst)}, "
@@ -355,7 +363,8 @@ def main(argv=None) -> int:
             finetune_iters=opts.finetune_iters,
             spec=_Spec(kind=opts.cheap_conv, groups=opts.cheap_groups,
                        init=opts.cheap_init),
-            kd=kd_cfg, lr=opts.lr, weight_decay=opts.weight_decay)
+            kd=kd_cfg, lr=opts.lr, stage_lr=opts.stage_lr,
+            weight_decay=opts.weight_decay)
         if teacher is None:
             print("--progressive requires a live teacher (no --cached_logits)",
                   file=sys.stderr)
@@ -390,8 +399,9 @@ def main(argv=None) -> int:
             cached_teacher=use_cached,
             mesh=mesh if jax.device_count() > 1 else None)
     else:
-        init_state, step_fn = make_train_step(model, tx,
-                                              loss_type=opts.loss_type)
+        init_state, step_fn = make_train_step(
+            model, tx, loss_type=opts.loss_type,
+            mesh=mesh if jax.device_count() > 1 else None)
         t_state = None
     state = init_state()
 
@@ -405,10 +415,13 @@ def main(argv=None) -> int:
     if opts.data_loader == "grain":
         from kd_cheap_conv_tpu.data.grain_pipeline import make_grain_loader
 
+        # Grain worker PROCESSES (not threads): in-process only when the
+        # host has a single core (worker startup would just serialize there)
+        grain_workers = opts.num_workers if (os.cpu_count() or 1) > 1 else 0
         train_loader = make_grain_loader(
             train_dst, batch_size=opts.batch_size, shuffle=True,
             seed=opts.random_seed,
-            num_workers=0,  # worker processes; 0 = in-process
+            num_workers=grain_workers,
             shard_index=jax.process_index() if opts.multihost else 0,
             shard_count=jax.process_count() if opts.multihost else 1)
     else:
@@ -440,10 +453,11 @@ def main(argv=None) -> int:
                         shuffle=False, drop_last=False, num_epochs=1,
                         num_workers=opts.num_workers),
             mesh=eval_mesh)
-        cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+        cm = np.zeros((num_classes, num_classes), np.int64)
         saved = 0
         for batch in val_loader:
-            cm, preds = eval_step(p, st.rest, batch, cm)
+            counts, preds = eval_step(p, st.rest, batch)
+            cm += np.asarray(counts)
             # reference validate(): dump image/target/pred/overlay PNGs for
             # the first samples when --save_val_results is on (during
             # training too, not only --test_only)

@@ -139,13 +139,12 @@ def test_eval_step_sharded_matches_replicated():
     eval_step = make_eval_step(graphdef, num_classes=6)
 
     images, labels = _batch(n=8, hw=33, classes=6)
-    cm0 = jnp.zeros((6, 6), jnp.int32)
 
-    cm_rep, _ = eval_step(params, rest, (images, labels), cm0)
+    cm_rep, _ = eval_step(params, rest, (images, labels))
 
     sharding = NamedSharding(mesh, P("data"))
     sb = (jax.device_put(images, sharding), jax.device_put(labels, sharding))
-    cm_sh, preds = eval_step(params, rest, sb, cm0)
+    cm_sh, preds = eval_step(params, rest, sb)
 
     np.testing.assert_array_equal(np.asarray(cm_rep), np.asarray(cm_sh))
     assert int(np.asarray(cm_sh).sum()) == labels.size
