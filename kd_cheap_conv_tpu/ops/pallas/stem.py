@@ -85,12 +85,28 @@ def _geom(H: int):
 # small helpers
 # ---------------------------------------------------------------------------
 
-def _sel_matrices(w_in: int, w_out: int):
-    """Static 0/1 selection matrices S_dw (w_in, w_out): S[w, w'] = 1 iff
-    w == 2*w' + dw - 1 (stride-2, pad-1 3-tap contraction along W)."""
+def _lanes(w: int) -> int:
+    """Logical lane extent: rounded up to the 128-lane tile. The physical
+    tiled memref is this wide anyway; making it LOGICAL lets sliced DMAs
+    (Mosaic requires tile-aligned slice shapes) and costs no HBM traffic.
+    Lanes in [w, _lanes(w)) are pad — kept zero at every pass output."""
+    return ((w + 127) // 128) * 128
+
+
+def _mask_lanes(x, wreal):
+    """Zero pad lanes >= wreal (last dim)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lane < wreal, x, 0.0)
+
+
+def _sel_matrices(w_in: int, w_out: int, wp_in: int, wp_out: int):
+    """Static 0/1 selection matrices S_dw (wp_in, wp_out): S[w, w'] = 1 iff
+    w == 2*w' + dw - 1 (stride-2, pad-1 3-tap contraction along W), zero
+    outside the real (w_in, w_out) ranges — pad-lane garbage multiplies
+    zero rows, and pad output lanes get zero columns."""
     mats = []
     for dw in range(3):
-        s = np.zeros((w_in, w_out), np.float32)
+        s = np.zeros((wp_in, wp_out), np.float32)
         for wp in range(w_out):
             w = 2 * wp + dw - 1
             if 0 <= w < w_in:
@@ -151,6 +167,51 @@ def _accum(ref, j, tile):
         ref[0] += tile
 
 
+def _dma_enabled() -> bool:
+    """Manual double-buffered halo DMA (opt-in, KDCC_STEM_DMA=1): one
+    contiguous async copy per (input, cell), prefetching cell j+1's windows
+    during cell j's compute. Built against the round-2 theory that the
+    Element-window fetches were latency-bound (~7.6us/cell, no overlap) —
+    but MEASURED round 3 on v5e b16/513²: 230.5 img/s (DMA) vs 232.7
+    (Element windows), and BH=32 (which only the DMA path can compile)
+    225.5. The overlap does not pay here, so the Element path stays the
+    default; the DMA path is kept parity-tested for future shapes. Note the
+    DMA path requires the lane-padded logical layout (_lanes) — which is
+    now used unconditionally (physically free; Mosaic needs tile-aligned
+    sliced copies)."""
+    return os.environ.get("KDCC_STEM_DMA", "0") not in ("0", "false", "False")
+
+
+def _halo_fetch(refs, starts, rows, bufs, sems, j, nh):
+    """Double-buffered fetch of per-cell halo row windows.
+
+    refs[k] is a full (N, R, C, W)-like HBM ref; window k for cell jj is the
+    contiguous row slice [starts[k](jj), +rows[k]) of image program_id(0) —
+    ONE contiguous DMA per (input, cell). Returns the VMEM views for cell j
+    after starting cell j+1's copies."""
+    i = pl.program_id(0)
+
+    def dma(k, slot, jj):
+        return pltpu.make_async_copy(
+            refs[k].at[i, pl.ds(starts[k](jj), rows[k])],
+            bufs[k].at[slot], sems[k].at[slot])
+
+    for k in range(len(refs)):
+        @pl.when(j == 0)
+        def _(k=k):
+            dma(k, 0, 0).start()
+
+        @pl.when(j + 1 < nh)
+        def _(k=k):
+            dma(k, (j + 1) % 2, j + 1).start()
+
+    out = []
+    for k in range(len(refs)):
+        dma(k, j % 2, j).wait()
+        out.append(bufs[k][j % 2])
+    return out
+
+
 def _dw_taps(h, k, bh, W, flip=False):
     """Stride-1 3x3 depthwise on bn'd halo rows h (bh+2, C, W) with
     per-channel kernel k (C, 9). flip=True uses the spatially flipped
@@ -181,22 +242,39 @@ def _dw_taps(h, k, bh, W, flip=False):
 # forward kernels
 # ---------------------------------------------------------------------------
 
-def _k_bn_dw(x_ref, bn_ref, k_ref, y_ref, s_ref, *, bh, H, relu, eps):
-    """bn(+relu6) -> depthwise 3x3 s1 -> y + next-BN moments.
-    x block (1, bh+2, C, W) halo rows starting at global j*bh-1."""
-    j = pl.program_id(1)
-    x = x_ref[0].astype(jnp.float32)
+def _bn_dw_body(x, bn_ref, k_ref, y_ref, s_ref, j, *, bh, H, W, relu, eps):
+    x = x.astype(jnp.float32)
     h = _bn_apply(x, bn_ref[...].astype(jnp.float32), relu, eps)
     h = _mask_rows(h, j, bh, -1, H)              # conv zero-pad + garbage
+    h = _mask_lanes(h, W)                        # pad lanes: bn beta garbage
     y = _dw_taps(h, k_ref[...].astype(jnp.float32), bh, x.shape[2])
+    y = _mask_lanes(y, W)                        # roll spill into pad lanes
     y_ref[0] = y.astype(y_ref.dtype)
     m = _rows_in(bh, j, bh, 0, H)
     _accum(s_ref, j, _stats_tile(y, m, y.shape[1]))
 
 
-def _k_bn_pw(x_ref, bn_ref, w_ref, y_ref, s_ref, *, bh, H, relu, eps):
+def _k_bn_dw(x_ref, bn_ref, k_ref, y_ref, s_ref, *, bh, H, W, relu, eps):
+    """bn(+relu6) -> depthwise 3x3 s1 -> y + next-BN moments.
+    x block (1, bh+2, C, Wp) halo rows starting at global j*bh-1."""
+    j = pl.program_id(1)
+    _bn_dw_body(x_ref[0], bn_ref, k_ref, y_ref, s_ref, j,
+                bh=bh, H=H, W=W, relu=relu, eps=eps)
+
+
+def _k_bn_dw_dma(x_hbm, bn_ref, k_ref, y_ref, s_ref, buf, sem, *,
+                 bh, H, W, relu, eps):
+    """_k_bn_dw with the halo window fetched by double-buffered DMA."""
+    j = pl.program_id(1)
+    (x,) = _halo_fetch([x_hbm], [lambda jj: PAD + jj * bh - 1], [bh + 2],
+                       [buf], [sem], j, pl.num_programs(1))
+    _bn_dw_body(x, bn_ref, k_ref, y_ref, s_ref, j,
+                bh=bh, H=H, W=W, relu=relu, eps=eps)
+
+
+def _k_bn_pw(x_ref, bn_ref, w_ref, y_ref, s_ref, *, bh, H, W, relu, eps):
     """bn(+relu6 opt) -> pointwise (Ci->Co) -> y + next-BN moments.
-    x block (1, bh, Ci, W); w (Co, Ci). x rows are always producer-written
+    x block (1, bh, Ci, Wp); w (Co, Ci). x rows are always producer-written
     (zeros beyond H), so no where-masking needed before the matmul."""
     j = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)
@@ -204,7 +282,8 @@ def _k_bn_pw(x_ref, bn_ref, w_ref, y_ref, s_ref, *, bh, H, relu, eps):
     h = _mask_rows(h, j, bh, 0, H)
     w = w_ref[...]
     rows = [_mm(w, h[r], y_ref.dtype) for r in range(bh)]
-    y = jnp.stack(rows, axis=0)                      # (bh, Co, W)
+    y = jnp.stack(rows, axis=0)                      # (bh, Co, Wp)
+    y = _mask_lanes(y, W)        # pad-lane columns: matmul of bn beta
     y_ref[0] = y.astype(y_ref.dtype)
     m = _rows_in(bh, j, bh, 0, H)
     _accum(s_ref, j, _stats_tile(y, m, y.shape[1]))
@@ -220,7 +299,22 @@ def _k_bn_dw_s2(xp_ref, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
     via the selection matmuls s0/s1/s2.
     """
     j = pl.program_id(1)
-    xp = xp_ref[0].astype(jnp.float32)               # (bh+1, 2C, Win)
+    _bn_dw_s2_body(xp_ref[0], bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
+                   y_ref, st_ref, j, bh=bh, Hin=Hin, Hout=Hout, eps=eps)
+
+
+def _k_bn_dw_s2_dma(xp_hbm, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
+                    y_ref, st_ref, buf, sem, *, bh, Hin, Hout, eps):
+    j = pl.program_id(1)
+    (xp,) = _halo_fetch([xp_hbm], [lambda jj: PAD // 2 + jj * bh - 1],
+                        [bh + 1], [buf], [sem], j, pl.num_programs(1))
+    _bn_dw_s2_body(xp, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
+                   y_ref, st_ref, j, bh=bh, Hin=Hin, Hout=Hout, eps=eps)
+
+
+def _bn_dw_s2_body(xp, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
+                   y_ref, st_ref, j, *, bh, Hin, Hout, eps):
+    xp = xp.astype(jnp.float32)                      # (bh+1, 2C, Win)
     C = xp.shape[1] // 2
     bn = bn_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)               # (C, 9)
@@ -305,33 +399,47 @@ def _stats_out(c):
                         memory_space=pltpu.VMEM)
 
 
-def _run_bn_dw(x, bn, k, H, relu, eps, interpret, out_dtype,
+def _run_bn_dw(x, bn, k, H, W, relu, eps, interpret, out_dtype,
                axis=None, nsh=1):
-    """x (N,R,C,W) padded pre-BN; returns (y padded, mean, var of y)."""
+    """x (N,R,C,Wp) padded pre-BN; W = real lane extent; returns
+    (y padded, mean, var of y)."""
     n, R, c, w = x.shape
     nh = pl.cdiv(H, BH)
+    if _dma_enabled():
+        kern = functools.partial(_k_bn_dw_dma, bh=BH, H=H, W=W, relu=relu,
+                                 eps=eps)
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [pltpu.VMEM((2, BH + 2, c, w), x.dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kern = functools.partial(_k_bn_dw, bh=BH, H=H, W=W, relu=relu,
+                                 eps=eps)
+        x_spec = _halo(c, w)
+        scratch = []
     y, sums = pl.pallas_call(
-        functools.partial(_k_bn_dw, bh=BH, H=H, relu=relu, eps=eps),
+        kern,
         out_shape=(jax.ShapeDtypeStruct((n, R, c, w), out_dtype),
                    jax.ShapeDtypeStruct((n, c, 128), jnp.float32)),
         grid=(n, nh),
-        in_specs=[_halo(c, w), _const((c, 4)), _const((c, 9))],
+        in_specs=[x_spec, _const((c, 4)), _const((c, 9))],
         out_specs=(_blk(c, w), _stats_out(c)),
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_CP,
     )(x, bn, k)
-    mean, var = _moments(sums, float(n * H * w) * nsh, axis)
+    mean, var = _moments(sums, float(n * H * W) * nsh, axis)
     return y, mean, var
 
 
-def _run_bn_pw(x, bn, w2, H, relu, eps, interpret, out_dtype,
+def _run_bn_pw(x, bn, w2, H, W, relu, eps, interpret, out_dtype,
                axis=None, nsh=1):
-    """x (N,R,Ci,W) padded; w2 (Co,Ci); returns (y padded, mean, var)."""
+    """x (N,R,Ci,Wp) padded; w2 (Co,Ci); W = real lane extent; returns
+    (y padded, mean, var)."""
     n, R, ci, w = x.shape
     co = w2.shape[0]
     nh = pl.cdiv(H, BH)
     y, sums = pl.pallas_call(
-        functools.partial(_k_bn_pw, bh=BH, H=H, relu=relu, eps=eps),
+        functools.partial(_k_bn_pw, bh=BH, H=H, W=W, relu=relu, eps=eps),
         out_shape=(jax.ShapeDtypeStruct((n, R, co, w), out_dtype),
                    jax.ShapeDtypeStruct((n, co, 128), jnp.float32)),
         grid=(n, nh),
@@ -340,38 +448,54 @@ def _run_bn_pw(x, bn, w2, H, relu, eps, interpret, out_dtype,
         interpret=interpret,
         compiler_params=_CP,
     )(x, bn, w2)
-    mean, var = _moments(sums, float(n * H * w) * nsh, axis)
+    mean, var = _moments(sums, float(n * H * W) * nsh, axis)
     return y, mean, var
 
 
-def _run_bn_dw_s2(x, bn, k, Hin, R2, eps, interpret, out_dtype,
+def _run_bn_dw_s2(x, bn, k, Hin, Win, R2, eps, interpret, out_dtype,
                   axis=None, nsh=1):
-    """x (N,R,C,Win) padded pre-BN; stride-2 dw; returns (y (N,R2,C,Wout)
-    padded, mean, var). Hout = (Hin+1)//2, Wout = (Win+1)//2 (pad-1)."""
-    n, R, c, win = x.shape
+    """x (N,R,C,Wp) padded pre-BN; Win = real lane extent; stride-2 dw;
+    returns (y (N,R2,C,Wout_p) padded, mean, var). Hout = (Hin+1)//2,
+    Wout = (Win+1)//2 (pad-1) — pad lanes handled by the zero-extended
+    selection matrices."""
+    n, R, c, wp = x.shape
     hout = (Hin + 1) // 2
-    wout = (win + 1) // 2
+    wout_real = (Win + 1) // 2
+    wout = _lanes(wout_real)
+    win = wp
     nh = pl.cdiv(hout, BH)
-    xp = x.reshape(n, R // 2, 2 * c, win)            # free pair-view bitcast
-    sels = [jnp.asarray(s) for s in _sel_matrices(win, wout)]
-    pair_halo = pl.BlockSpec(
-        (pl.Element(1), pl.Element(BH + 1), pl.Element(2 * c),
-         pl.Element(win)),
-        lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0),
-        memory_space=pltpu.VMEM)
+    xp = x.reshape(n, R // 2, 2 * c, wp)             # free pair-view bitcast
+    sels = [jnp.asarray(s)
+            for s in _sel_matrices(Win, wout_real, wp, wout)]
+    if _dma_enabled():
+        kern = functools.partial(_k_bn_dw_s2_dma, bh=BH, Hin=Hin, Hout=hout,
+                                 eps=eps)
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [pltpu.VMEM((2, BH + 1, 2 * c, win), x.dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kern = functools.partial(_k_bn_dw_s2, bh=BH, Hin=Hin, Hout=hout,
+                                 eps=eps)
+        x_spec = pl.BlockSpec(
+            (pl.Element(1), pl.Element(BH + 1), pl.Element(2 * c),
+             pl.Element(win)),
+            lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0),
+            memory_space=pltpu.VMEM)
+        scratch = []
     y, sums = pl.pallas_call(
-        functools.partial(_k_bn_dw_s2, bh=BH, Hin=Hin, Hout=hout, eps=eps),
+        kern,
         out_shape=(jax.ShapeDtypeStruct((n, R2, c, wout), out_dtype),
                    jax.ShapeDtypeStruct((n, c, 128), jnp.float32)),
         grid=(n, nh),
-        in_specs=[pair_halo, _const((c, 4)), _const((c, 9)),
+        in_specs=[x_spec, _const((c, 4)), _const((c, 9)),
                   _const((win, wout)), _const((win, wout)),
                   _const((win, wout))],
         out_specs=(_blk(c, wout), _stats_out(c)),
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_CP,
     )(xp, bn, k, *sels)
-    mean, var = _moments(sums, float(n * hout * wout) * nsh, axis)
+    mean, var = _moments(sums, float(n * hout * wout_real) * nsh, axis)
     return y, mean, var
 
 
@@ -432,7 +556,7 @@ def _accum_global(ref, i, j, tile):
 
 
 def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
-              gyk_ref, sums_ref, dw_ref, *, bh, H, relu_k, eps):
+              gyk_ref, sums_ref, dw_ref, *, bh, H, W, relu_k, eps):
     """Backward over [bn_k(+relu_k) -> pw -> a_next] given gy_next.
 
     gy (1,bh,Co,W); a_next (1,bh,Co,W); a_k (1,bh,Ci,W); pn (Co,6) next-BN
@@ -448,6 +572,9 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
     m = _rows_in(bh, j, bh, 0, H)
     ga = _bn_bwd_apply(gy, an, pn_ref[...].astype(jnp.float32), eps)
     ga = jnp.where(m, ga, 0.0)
+    # pad lanes: the -sum/M terms of the BN backward are per-channel
+    # constants, nonzero even where gy is zero; the dW dot contracts lanes
+    ga = _mask_lanes(ga, W)
 
     bnk = bnk_ref[...].astype(jnp.float32)
     u, xh = _bn_u_xh(ak, bnk, eps)
@@ -477,7 +604,7 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
 
 
 def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
-              gyk_ref, sums_ref, dk_ref, *, bh, H, eps):
+              gyk_ref, sums_ref, dk_ref, *, bh, H, W, eps):
     """Backward over [bn_k(relu6) -> dw3x3 s1 -> a_next] given gy_next.
 
     gy/a_next halo blocks (1,bh+2,C,W) (transpose-conv needs g halos; the
@@ -485,20 +612,41 @@ def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
     uninitialized — everything derived from them is where()-masked.
     Outputs gy_k (1,bh,C,W), sums, dk (C, 128) cols 0..8 global accum.
     """
+    _dw_bwd_body(gy_ref[0], an_ref[0], ak_ref[0], pn_ref, bnk_ref, k_ref,
+                 gyk_ref, sums_ref, dk_ref, bh=bh, H=H, Wreal=W, eps=eps)
+
+
+def _k_dw_bwd_dma(gy_hbm, an_hbm, ak_hbm, pn_ref, bnk_ref, k_ref,
+                  gyk_ref, sums_ref, dk_ref, bufg, bufa, bufk,
+                  semg, sema, semk, *, bh, H, W, eps):
+    j = pl.program_id(1)
+    start = lambda jj: PAD + jj * bh - 1
+    gy, an, ak = _halo_fetch([gy_hbm, an_hbm, ak_hbm], [start] * 3,
+                             [bh + 2] * 3, [bufg, bufa, bufk],
+                             [semg, sema, semk], j, pl.num_programs(1))
+    _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
+                 gyk_ref, sums_ref, dk_ref, bh=bh, H=H, Wreal=W, eps=eps)
+
+
+def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
+                 gyk_ref, sums_ref, dk_ref, *, bh, H, Wreal, eps):
     i, j = pl.program_id(0), pl.program_id(1)
-    gy = gy_ref[0].astype(jnp.float32)              # (bh+2, C, W)
-    an = an_ref[0].astype(jnp.float32)
-    ak = ak_ref[0].astype(jnp.float32)
-    C, W = gy.shape[1], gy.shape[2]
+    gy = gy.astype(jnp.float32)                     # (bh+2, C, Wp)
+    an = an.astype(jnp.float32)
+    ak = ak.astype(jnp.float32)
+    C, W = gy.shape[1], gy.shape[2]                 # W = PADDED lane extent
     pn = pn_ref[...].astype(jnp.float32)
     mh = _rows_in(bh + 2, j, bh, -1, H)
-    ga = _bn_bwd_apply(gy, an, pn, eps)             # (bh+2, C, W)
+    ga = _bn_bwd_apply(gy, an, pn, eps)             # (bh+2, C, Wp)
     ga = jnp.where(mh, ga, 0.0)
+    ga = _mask_lanes(ga, Wreal)  # BN-backward constants at pad lanes; the
+    #                              dk sums and gh tap rolls both touch lanes
 
     bnk = bnk_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)              # (C, 9)
     u, xh = _bn_u_xh(ak, bnk, eps)
     h = jnp.where(mh, jnp.clip(u, 0.0, 6.0), 0.0)
+    h = _mask_lanes(h, Wreal)  # dk taps roll pad-lane garbage into lane W-1
 
     # transpose conv: gh[h,w] = sum K[dh,dw] * ga[h-dh+1, w-dw+1]
     # == dw-conv of ga with the spatially flipped kernel
@@ -531,8 +679,10 @@ def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
     xh_c = jnp.where(m, xh[1:1 + bh], 0.0)
     gu = gh * ((u_c > 0.0) & (u_c < 6.0)).astype(jnp.float32)
     # zero padded rows: gh taps reach real ga rows from beyond H, and the
-    # garbage would pollute the per-channel sums
+    # garbage would pollute the per-channel sums; pad lanes: roll spill +
+    # garbage relu mask
     gu = jnp.where(m, gu, 0.0)
+    gu = _mask_lanes(gu, Wreal)
     gyk_ref[0] = gu.astype(gyk_ref.dtype)
     _accum(sums_ref, j, _grad_sums_tile(gu, xh_c, C))
     _accum_global(dk_ref, i, j, dk_tile)
@@ -554,10 +704,36 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
     (2m, 2m+1) — even from g[m] (dh=1 weights), odd from g[m] (dh=2) +
     g[m+1] (dh=0). No overlapping writes.
     """
+    _dw_s2_bwd_body(gy_ref[0], an_ref[0], akp_ref[0], pn_ref, bnk_ref,
+                    k_ref, sf0_ref, sf1_ref, sf2_ref, st0_ref, st1_ref,
+                    st2_ref, gyk_ref, sums_ref, dk_ref,
+                    bh=bh, Hin=Hin, Hout=Hout, eps=eps)
+
+
+def _k_dw_s2_bwd_dma(gy_hbm, an_hbm, akp_hbm, pn_ref, bnk_ref, k_ref,
+                     sf0_ref, sf1_ref, sf2_ref, st0_ref, st1_ref, st2_ref,
+                     gyk_ref, sums_ref, dk_ref, bufg, bufa, bufk,
+                     semg, sema, semk, *, bh, Hin, Hout, eps):
+    j = pl.program_id(1)
+    g_start = lambda jj: PAD + jj * bh
+    p_start = lambda jj: PAD // 2 + jj * bh - 1
+    gy, an, akp = _halo_fetch(
+        [gy_hbm, an_hbm, akp_hbm], [g_start, g_start, p_start],
+        [bh + 1, bh + 1, bh + 1], [bufg, bufa, bufk],
+        [semg, sema, semk], j, pl.num_programs(1))
+    _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
+                    sf0_ref, sf1_ref, sf2_ref, st0_ref, st1_ref, st2_ref,
+                    gyk_ref, sums_ref, dk_ref,
+                    bh=bh, Hin=Hin, Hout=Hout, eps=eps)
+
+
+def _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
+                    sf0_ref, sf1_ref, sf2_ref, st0_ref, st1_ref, st2_ref,
+                    gyk_ref, sums_ref, dk_ref, *, bh, Hin, Hout, eps):
     i, j = pl.program_id(0), pl.program_id(1)
-    gy = gy_ref[0].astype(jnp.float32)              # (bh+1, C, Wout)
-    an = an_ref[0].astype(jnp.float32)
-    akp = akp_ref[0].astype(jnp.float32)            # (bh+1, 2C, Win)
+    gy = gy.astype(jnp.float32)                     # (bh+1, C, Wout)
+    an = an.astype(jnp.float32)
+    akp = akp.astype(jnp.float32)                   # (bh+1, 2C, Win)
     C = gy.shape[1]
     Win = akp.shape[2]
     pn = pn_ref[...].astype(jnp.float32)
@@ -646,16 +822,17 @@ def _bnbwd_identity(c):
     return jnp.stack([z, 1.0 - 0.0 * z, 1.0 + 0.0 * z, z, z, z], axis=1)
 
 
-def _run_pw_bwd(gy, a_next, a_k, pn, bnk, w2, H, relu_k, eps, interpret,
+def _run_pw_bwd(gy, a_next, a_k, pn, bnk, w2, H, W, relu_k, eps, interpret,
                 gdt):
-    """All arrays padded (N,R,·,W). Returns (gy_k padded, sums (Ci,2),
-    dW (Co,Ci))."""
+    """All arrays padded (N,R,·,Wp); W = real lane extent. Returns
+    (gy_k padded, sums (Ci,2), dW (Co,Ci))."""
     n, R, co, w = gy.shape
     ci = a_k.shape[2]
     nh = pl.cdiv(H, BH)
     wt = jnp.transpose(w2, (1, 0))                  # (Ci, Co)
     gyk, sums, dw = pl.pallas_call(
-        functools.partial(_k_pw_bwd, bh=BH, H=H, relu_k=relu_k, eps=eps),
+        functools.partial(_k_pw_bwd, bh=BH, H=H, W=W, relu_k=relu_k,
+                          eps=eps),
         out_shape=(jax.ShapeDtypeStruct((n, R, ci, w), gdt),
                    jax.ShapeDtypeStruct((n, ci, 128), jnp.float32),
                    jax.ShapeDtypeStruct((co, ci), jnp.float32)),
@@ -672,58 +849,86 @@ def _run_pw_bwd(gy, a_next, a_k, pn, bnk, w2, H, relu_k, eps, interpret,
     return gyk, s, dw
 
 
-def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, eps, interpret, gdt):
-    """Stride-1 dw backward on padded arrays. Returns (gy_k padded,
-    sums (C,2), dk (C,9))."""
+def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, W, eps, interpret, gdt):
+    """Stride-1 dw backward on padded arrays; W = real lane extent.
+    Returns (gy_k padded, sums (C,2), dk (C,9))."""
     n, R, c, w = gy.shape
     nh = pl.cdiv(H, BH)
+    if _dma_enabled():
+        kern = functools.partial(_k_dw_bwd_dma, bh=BH, H=H, W=W, eps=eps)
+        halo_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        buf = lambda: pltpu.VMEM((2, BH + 2, c, w), gy.dtype)
+        scratch = [buf(), buf(), buf()] + [pltpu.SemaphoreType.DMA((2,))] * 3
+    else:
+        kern = functools.partial(_k_dw_bwd, bh=BH, H=H, W=W, eps=eps)
+        halo_specs = [_halo(c, w)] * 3
+        scratch = []
     gyk, sums, dk = pl.pallas_call(
-        functools.partial(_k_dw_bwd, bh=BH, H=H, eps=eps),
+        kern,
         out_shape=(jax.ShapeDtypeStruct((n, R, c, w), gdt),
                    jax.ShapeDtypeStruct((n, c, 128), jnp.float32),
                    jax.ShapeDtypeStruct((c, 128), jnp.float32)),
         grid=(n, nh),
-        in_specs=[_halo(c, w), _halo(c, w), _halo(c, w),
-                  _const((c, 6)), _const((c, 4)), _const((c, 9))],
+        in_specs=halo_specs + [
+            _const((c, 6)), _const((c, 4)), _const((c, 9))],
         out_specs=(_blk(c, w), _stats_out(c),
                    pl.BlockSpec((c, 128), lambda i, j: (0, 0),
                                 memory_space=pltpu.VMEM)),
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_CP,
     )(gy, a_next, a_k, pn, bnk, k)
     return gyk, sums.sum(0)[:, :2], dk[:, :9]
 
 
-def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, eps, interpret, gdt):
-    """Stride-2 dw backward. gy/a_next (N,R2,C,Wout) padded;
-    a_k (N,R,C,Win) padded. Returns (gy_k (N,R,C,Win) padded in pair-block
-    writes, sums (C,2), dk (C,9))."""
+def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, Win, eps, interpret,
+                   gdt):
+    """Stride-2 dw backward. gy/a_next (N,R2,C,Wout_p) padded;
+    a_k (N,R,C,Wp) padded; Win = real input lane extent. Returns
+    (gy_k (N,R,C,Wp) padded in pair-block writes, sums (C,2), dk (C,9))."""
     n, R2, c, wout = gy.shape
     R = a_k.shape[1]
     win = a_k.shape[3]
+    wout_real = (Win + 1) // 2
     hout = (Hin + 1) // 2
     nh = pl.cdiv(hout, BH)
     akp = a_k.reshape(n, R // 2, 2 * c, win)         # free pair-view bitcast
-    sf = [jnp.asarray(s) for s in _sel_matrices(win, wout)]
+    sf = [jnp.asarray(s)
+          for s in _sel_matrices(Win, wout_real, win, wout)]
     st = [jnp.asarray(np.ascontiguousarray(s.T))
-          for s in _sel_matrices(win, wout)]
-    halo_g = pl.BlockSpec(
-        (pl.Element(1), pl.Element(BH + 1), pl.Element(c), pl.Element(wout)),
-        lambda i, j: (i, PAD + j * BH, 0, 0),
-        memory_space=pltpu.VMEM)
-    pair_halo = pl.BlockSpec(
-        (pl.Element(1), pl.Element(BH + 1), pl.Element(2 * c),
-         pl.Element(win)),
-        lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0),
-        memory_space=pltpu.VMEM)
+          for s in _sel_matrices(Win, wout_real, win, wout)]
+    if _dma_enabled():
+        kern = functools.partial(_k_dw_s2_bwd_dma, bh=BH, Hin=Hin, Hout=hout,
+                                 eps=eps)
+        win_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        scratch = [pltpu.VMEM((2, BH + 1, c, wout), gy.dtype),
+                   pltpu.VMEM((2, BH + 1, c, wout), a_next.dtype),
+                   pltpu.VMEM((2, BH + 1, 2 * c, win), a_k.dtype),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kern = functools.partial(_k_dw_s2_bwd, bh=BH, Hin=Hin, Hout=hout,
+                                 eps=eps)
+        halo_g = pl.BlockSpec(
+            (pl.Element(1), pl.Element(BH + 1), pl.Element(c),
+             pl.Element(wout)),
+            lambda i, j: (i, PAD + j * BH, 0, 0),
+            memory_space=pltpu.VMEM)
+        pair_halo = pl.BlockSpec(
+            (pl.Element(1), pl.Element(BH + 1), pl.Element(2 * c),
+             pl.Element(win)),
+            lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0),
+            memory_space=pltpu.VMEM)
+        win_specs = [halo_g, halo_g, pair_halo]
+        scratch = []
     gykp, sums, dk = pl.pallas_call(
-        functools.partial(_k_dw_s2_bwd, bh=BH, Hin=Hin, Hout=hout, eps=eps),
+        kern,
         out_shape=(jax.ShapeDtypeStruct((n, R // 2, 2 * c, win), gdt),
                    jax.ShapeDtypeStruct((n, c, 128), jnp.float32),
                    jax.ShapeDtypeStruct((c, 128), jnp.float32)),
         grid=(n, nh),
-        in_specs=[
-            halo_g, halo_g, pair_halo,
+        in_specs=win_specs + [
             _const((c, 6)), _const((c, 4)), _const((c, 9)),
             _const((win, wout)), _const((win, wout)), _const((win, wout)),
             _const((wout, win)), _const((wout, win)), _const((wout, win)),
@@ -736,6 +941,7 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, eps, interpret, gdt):
             pl.BlockSpec((c, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_CP,
     )(gy, a_next, akp, pn, bnk, k, *sf, *st)
@@ -754,7 +960,9 @@ def _stem_fwd(a0, p, eps, interpret, axis=None, nsh=1):
     n, H, c0, W = a0.shape
     dt = a0.dtype
     nh, H2, nh2, R, R2 = _geom(H)
-    a0p = jnp.pad(a0, ((0, 0), (PAD, R - PAD - H), (0, 0), (0, 0)))
+    wp = _lanes(W)
+    W2 = (W + 1) // 2
+    a0p = jnp.pad(a0, ((0, 0), (PAD, R - PAD - H), (0, 0), (0, wp - W)))
     # bn0 batch moments in XLA — fuses with the producing conv epilogue
     a0f = a0.astype(jnp.float32)
     s0m = a0f.sum(axis=(0, 1, 3))
@@ -765,17 +973,22 @@ def _stem_fwd(a0, p, eps, interpret, axis=None, nsh=1):
     m0 = s0m / cnt0
     v0 = s0s2 / cnt0 - m0 * m0
     a1, m1, v1 = _run_bn_dw(a0p, _bn_pack(m0, v0, p["g0"], p["b0"]),
-                            p["k1"], H, True, eps, interpret, dt, axis, nsh)
+                            p["k1"], H, W, True, eps, interpret, dt,
+                            axis, nsh)
     a2, m2, v2 = _run_bn_pw(a1, _bn_pack(m1, v1, p["g1"], p["b1"]),
-                            p["w1"], H, True, eps, interpret, dt, axis, nsh)
+                            p["w1"], H, W, True, eps, interpret, dt,
+                            axis, nsh)
     a3, m3, v3 = _run_bn_pw(a2, _bn_pack(m2, v2, p["g2"], p["b2"]),
-                            p["w2"], H, False, eps, interpret, dt, axis, nsh)
+                            p["w2"], H, W, False, eps, interpret, dt,
+                            axis, nsh)
     a4, m4, v4 = _run_bn_dw_s2(a3, _bn_pack(m3, v3, p["g3"], p["b3"]),
-                               p["k2"], H, R2, eps, interpret, dt, axis, nsh)
+                               p["k2"], H, W, R2, eps, interpret, dt,
+                               axis, nsh)
     a5, m5, v5 = _run_bn_pw(a4, _bn_pack(m4, v4, p["g4"], p["b4"]),
-                            p["w3"], H2, True, eps, interpret, dt, axis, nsh)
+                            p["w3"], H2, W2, True, eps, interpret, dt,
+                            axis, nsh)
     # final bn5 + layout exit in XLA (small half-res C=24 tensor)
-    a5v = a5[:, PAD:PAD + H2]
+    a5v = a5[:, PAD:PAD + H2, :, :W2]
     inv5 = jax.lax.rsqrt(v5 + eps)
     z2 = ((a5v.astype(jnp.float32) - m5[None, None, :, None])
           * (inv5 * p["g5"])[None, None, :, None]
@@ -824,9 +1037,11 @@ def _stem_bwd_impl(p, stats, acts, a0_shape, g_out, eps, interpret,
     _, H2, _, _, R2 = _geom(H)
     W2 = g_out.shape[2]
 
+    wp = _lanes(W)
+    wp2 = _lanes(W2)
     # bn5 backward in XLA (small tensor, needs global sums first)
     gz = jnp.transpose(g_out, (0, 1, 3, 2)).astype(jnp.float32)
-    a5v = a5[:, PAD:PAD + H2].astype(jnp.float32)
+    a5v = a5[:, PAD:PAD + H2, :, :W2].astype(jnp.float32)
     inv5 = jax.lax.rsqrt(v5 + eps)
     xh5 = (a5v - m5[None, None, :, None]) * inv5[None, None, :, None]
     M5 = float(n * H2 * W2) * nsh
@@ -836,20 +1051,20 @@ def _stem_bwd_impl(p, stats, acts, a0_shape, g_out, eps, interpret,
         gz - (sg5 / M5)[None, None, :, None]
         - xh5 * (sgx5 / M5)[None, None, :, None])
     ga5p = jnp.pad(ga5.astype(dt),
-                   ((0, 0), (PAD, R2 - PAD - H2), (0, 0), (0, 0)))
+                   ((0, 0), (PAD, R2 - PAD - H2), (0, 0), (0, wp2 - W2)))
 
     # pw3 link (bn4 relu6 -> pw3): first pass takes g_a directly
     pn_id = _bnbwd_identity(ga5.shape[2])
     bn4 = _bn_pack(m4, v4, p["g4"], p["b4"])
     gy4, s4, dW3 = _run_pw_bwd(ga5p, a5, a4, pn_id, bn4, p["w3"],
-                               H2, True, eps, interpret, dt)
+                               H2, W2, True, eps, interpret, dt)
     s4 = g_psum(s4)
 
     # dw2 stride-2 link (bn3 relu6 -> dw s2)
     pn4 = _bnbwd_pack(m4, v4, p["g4"], s4[:, 0], s4[:, 1], M5)
     bn3 = _bn_pack(m3, v3, p["g3"], p["b3"])
     gy3, s3, dk2 = _run_dw_s2_bwd(gy4, a4, a3, pn4, bn3, p["k2"],
-                                  H, eps, interpret, dt)
+                                  H, W, eps, interpret, dt)
     s3 = g_psum(s3)
 
     M = float(n * H * W) * nsh
@@ -857,21 +1072,21 @@ def _stem_bwd_impl(p, stats, acts, a0_shape, g_out, eps, interpret,
     pn3 = _bnbwd_pack(m3, v3, p["g3"], s3[:, 0], s3[:, 1], M)
     bn2 = _bn_pack(m2, v2, p["g2"], p["b2"])
     gy2, s2, dW2 = _run_pw_bwd(gy3, a3, a2, pn3, bn2, p["w2"],
-                               H, False, eps, interpret, dt)
+                               H, W, False, eps, interpret, dt)
     s2 = g_psum(s2)
 
     # pw1 link (bn1 relu6 -> pw1)
     pn2 = _bnbwd_pack(m2, v2, p["g2"], s2[:, 0], s2[:, 1], M)
     bn1 = _bn_pack(m1, v1, p["g1"], p["b1"])
     gy1, s1, dW1 = _run_pw_bwd(gy2, a2, a1, pn2, bn1, p["w1"],
-                               H, True, eps, interpret, dt)
+                               H, W, True, eps, interpret, dt)
     s1 = g_psum(s1)
 
     # dw1 link (bn0 relu6 -> dw1)
     pn1 = _bnbwd_pack(m1, v1, p["g1"], s1[:, 0], s1[:, 1], M)
     bn0 = _bn_pack(m0, v0, p["g0"], p["b0"])
     gy0, s0, dk1 = _run_dw_bwd(gy1, a1, a0p, pn1, bn0, p["k1"],
-                               H, eps, interpret, dt)
+                               H, W, eps, interpret, dt)
     s0 = g_psum(s0)
 
     if axis is not None:
@@ -879,8 +1094,8 @@ def _stem_bwd_impl(p, stats, acts, a0_shape, g_out, eps, interpret,
                                                axis)
 
     # bn0 backward in XLA on the unpadded slice
-    gy0v = gy0[:, PAD:PAD + H].astype(jnp.float32)
-    a0v = a0p[:, PAD:PAD + H].astype(jnp.float32)
+    gy0v = gy0[:, PAD:PAD + H, :, :W].astype(jnp.float32)
+    a0v = a0p[:, PAD:PAD + H, :, :W].astype(jnp.float32)
     inv0 = jax.lax.rsqrt(v0 + eps)
     xh0 = (a0v - m0[None, None, :, None]) * inv0[None, None, :, None]
     ga0 = (p["g0"] * inv0)[None, None, :, None] * (

@@ -149,3 +149,26 @@ def test_eval_step_sharded_matches_replicated():
     np.testing.assert_array_equal(np.asarray(cm_rep), np.asarray(cm_sh))
     assert int(np.asarray(cm_sh).sum()) == labels.size
     assert preds.shape == labels.shape
+
+
+def test_tta_sharded_matches_replicated():
+    """config #5 on a mesh: make_tta_predict_fn on batch-sharded inputs
+    produces the same preds/probs as replicated compute (the jitted TTA
+    program is GSPMD-partitioned from the input sharding)."""
+    from kd_cheap_conv_tpu.inference import make_tta_predict_fn
+
+    mesh = make_mesh()
+    model = build_model("deeplabv3plus_mobilenet", num_classes=6,
+                        output_stride=16, rngs=nnx.Rngs(0))
+    model.eval()
+    tta = make_tta_predict_fn(model, scales=(0.5, 1.0), flip=True)
+
+    images, _ = _batch(n=8, hw=33, classes=6)
+    preds_rep, probs_rep = tta(images)
+
+    sharding = NamedSharding(mesh, P("data"))
+    preds_sh, probs_sh = tta(jax.device_put(images, sharding))
+
+    np.testing.assert_array_equal(np.asarray(preds_sh), np.asarray(preds_rep))
+    np.testing.assert_allclose(np.asarray(probs_sh), np.asarray(probs_rep),
+                               rtol=1e-5, atol=1e-6)
