@@ -145,6 +145,22 @@ def pallas_interpret_mode() -> bool:
         return True
 
 
+# Decoder concat-split: compute fuse(cat(low, up)) as fuseA(low) + fuseB(up)
+# (channel-split of the fuse kernel — exact algebra for dense AND separable
+# fuse convs), so the 304-channel concat tensor and its pad/copy glue never
+# materialize. Profiled at b16/513²: the 129²xC304 cluster (concat pads,
+# layout copies, the 2.25ms fuse fusion) is ~9ms of the 68.5ms step.
+# Default ON everywhere (pure jnp; helps any backend). KDCC_SPLIT_DECODER=0.
+split_decoder_concat: bool | None = True
+
+
+def split_decoder_concat_enabled() -> bool:
+    env = os.environ.get("KDCC_SPLIT_DECODER")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return bool(split_decoder_concat)
+
+
 # MobileNetV2 stem layout: run the first K feature blocks channel-major
 # (NCHW) so low-channel high-resolution activations (C=16..96 at 257²) don't
 # lane-pad channels to 128 (4-8x HBM traffic). 0 = off. Env: KDCC_STEM_CM=K.

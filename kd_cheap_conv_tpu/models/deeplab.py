@@ -80,12 +80,84 @@ class DeepLabHeadV3Plus(nnx.Module):
         bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
         return jnp.transpose(logits, (0, 1, 3, 2))    # NHCW -> NHWC
 
+    def _split_fuse_kind(self) -> str | None:
+        """Can fuse(cat(low, up)) be computed as fuseA(low) + fuseB(up)?
+
+        Exact for a dense groups-1 conv (split the in-channel axis of the
+        kernel) and for a separable pair (depthwise is per-channel, so it
+        splits too; the pointwise splits like the dense case). NOT exact for
+        grouped convs whose block boundaries straddle the 48/256 split —
+        those fall back to the materialized concat.
+        """
+        conv = self.fuse.conv
+        if isinstance(conv, Conv2d):
+            return "dense" if conv.groups == 1 else None
+        dw = getattr(conv, "depthwise", None)
+        pw = getattr(conv, "pointwise", None)
+        if (isinstance(dw, Conv2d) and isinstance(pw, Conv2d)
+                and dw.groups == dw.in_channels and pw.groups == 1
+                and pw.kernel_size == (1, 1) and dw.bias is None
+                and getattr(conv, "bn_dw", None) is None):
+            return "separable"
+        return None
+
+    def _call_split_fuse(self, low, up, kind: str):
+        """fuse(cat(low, up)) without materializing the 304ch concat: the
+        pad/copy/layout glue around the concat is ~9ms of the 68.5ms KD step
+        at b16/513² (xplane profile, round 3). Same math, same BN."""
+        from ..ops.conv import conv2d
+
+        conv = self.fuse.conv
+        cl = low.shape[-1]
+        if kind == "dense":
+            w = conv.kernel[...]
+            dtype = conv.dtype
+            if dtype is not None:
+                low, up, w = (low.astype(dtype), up.astype(dtype),
+                              w.astype(dtype))
+            y = conv2d(low, w[:, :, :cl], None, stride=conv.stride,
+                       padding=conv.padding, dilation=conv.dilation)
+            y = y + conv2d(up, w[:, :, cl:], None, stride=conv.stride,
+                           padding=conv.padding, dilation=conv.dilation)
+            if conv.bias is not None:
+                y = y + conv.bias[...].astype(y.dtype)
+        else:  # separable
+            dw, pw = conv.depthwise, conv.pointwise
+            dwk = dw.kernel[...]
+            pwk = pw.kernel[...]
+            dtype = dw.dtype
+            if dtype is not None:
+                low, up = low.astype(dtype), up.astype(dtype)
+                dwk, pwk = dwk.astype(dtype), pwk.astype(dtype)
+            ylo = conv2d(low, dwk[:, :, :, :cl], None, stride=dw.stride,
+                         padding=dw.padding, dilation=dw.dilation, groups=cl)
+            yup = conv2d(up, dwk[:, :, :, cl:], None, stride=dw.stride,
+                         padding=dw.padding, dilation=dw.dilation,
+                         groups=dwk.shape[3] - cl)
+            y = conv2d(ylo, pwk[:, :, :cl], None)
+            y = y + conv2d(yup, pwk[:, :, cl:], None)
+            if pw.bias is not None:
+                y = y + pw.bias[...].astype(y.dtype)
+        y = self.fuse.bn(y)
+        return nnx.relu(y) if self.fuse.relu else y
+
     def __call__(self, features: dict, *, return_features: bool = False):
         import jax.numpy as jnp
+
+        from .. import config
 
         low = self.project(features["low_level"])
         x = self.aspp(features["out"])
         x = resize_bilinear(x, low.shape[1:3])
+        split_kind = (self._split_fuse_kind()
+                      if config.split_decoder_concat_enabled() else None)
+        if split_kind is not None and not self._fused_head_active(
+                return_features):
+            x = self._call_split_fuse(low, x, split_kind)
+            logits = self.classifier(x)
+            if return_features:
+                return logits, {"head": x}
+            return logits
         xcat = jnp.concatenate([low, x], axis=-1)
         if self._fused_head_active(return_features):
             return self._call_fused_head(xcat)

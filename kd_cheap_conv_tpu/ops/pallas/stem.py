@@ -335,18 +335,26 @@ def _bn_dw_s2_body(xp, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
 
     sels = [s0_ref[...], s1_ref[...], s2_ref[...]]   # (Win, Wout) f32
     Wout = sels[0].shape[1]
-    acc = jnp.zeros((bh, C, Wout), jnp.float32)
+    # Fold the per-channel kernel scale and the dh-sum BEFORE the lane
+    # selection matmul (k scales channels = rows of the flattened matmul
+    # operand, so it commutes with S_dw): 3 matmuls/cell instead of 9.
+    # The 0/1 selection matmuls are this pass's dominant cost — MXU-bound
+    # at ~2.7 GF/cell the old way (profiled 2.05 ms/step at b16/513²).
+    hs = []
     for dh, (rows, first) in enumerate(taps_rows):
         h = _bn_apply(rows, bn, True, eps)
         # zero conv padding + garbage: global input row = 2*(j*bh+r)+first
         r = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
         gr = 2 * (r + j * bh) + first
         h = jnp.where((gr >= 0) & (gr < Hin), h, 0.0)
-        flat = h.reshape(bh * C, h.shape[2])
-        for dw in range(3):
-            tap = _mm(flat, sels[dw], y_ref.dtype)
-            tap = tap.reshape(bh, C, Wout)
-            acc = acc + tap * k[:, dh * 3 + dw:dh * 3 + dw + 1][None]
+        hs.append(h)
+    acc = jnp.zeros((bh, C, Wout), jnp.float32)
+    for dw in range(3):
+        hk = sum(hs[dh] * k[:, dh * 3 + dw:dh * 3 + dw + 1][None]
+                 for dh in range(3))
+        flat = hk.reshape(bh * C, hk.shape[2])
+        tap = _mm(flat, sels[dw], y_ref.dtype)
+        acc = acc + tap.reshape(bh, C, Wout)
     y_ref[0] = acc.astype(y_ref.dtype)
     m = _rows_in(bh, j, bh, 0, Hout)
     _accum(st_ref, j, _stats_tile(acc, m, C))
@@ -689,7 +697,7 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
 
 
 def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
-                 sf0_ref, sf1_ref, sf2_ref, st0_ref, st1_ref, st2_ref,
+                 st0_ref, st1_ref, st2_ref,
                  gyk_ref, sums_ref, dk_ref, *, bh, Hin, Hout, eps):
     """Backward over [bn_k(relu6) -> dw3x3 STRIDE-2 -> a_next].
 
@@ -705,13 +713,13 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
     g[m+1] (dh=0). No overlapping writes.
     """
     _dw_s2_bwd_body(gy_ref[0], an_ref[0], akp_ref[0], pn_ref, bnk_ref,
-                    k_ref, sf0_ref, sf1_ref, sf2_ref, st0_ref, st1_ref,
-                    st2_ref, gyk_ref, sums_ref, dk_ref,
+                    k_ref, st0_ref, st1_ref, st2_ref,
+                    gyk_ref, sums_ref, dk_ref,
                     bh=bh, Hin=Hin, Hout=Hout, eps=eps)
 
 
 def _k_dw_s2_bwd_dma(gy_hbm, an_hbm, akp_hbm, pn_ref, bnk_ref, k_ref,
-                     sf0_ref, sf1_ref, sf2_ref, st0_ref, st1_ref, st2_ref,
+                     st0_ref, st1_ref, st2_ref,
                      gyk_ref, sums_ref, dk_ref, bufg, bufa, bufk,
                      semg, sema, semk, *, bh, Hin, Hout, eps):
     j = pl.program_id(1)
@@ -722,13 +730,13 @@ def _k_dw_s2_bwd_dma(gy_hbm, an_hbm, akp_hbm, pn_ref, bnk_ref, k_ref,
         [bh + 1, bh + 1, bh + 1], [bufg, bufa, bufk],
         [semg, sema, semk], j, pl.num_programs(1))
     _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
-                    sf0_ref, sf1_ref, sf2_ref, st0_ref, st1_ref, st2_ref,
+                    st0_ref, st1_ref, st2_ref,
                     gyk_ref, sums_ref, dk_ref,
                     bh=bh, Hin=Hin, Hout=Hout, eps=eps)
 
 
 def _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
-                    sf0_ref, sf1_ref, sf2_ref, st0_ref, st1_ref, st2_ref,
+                    st0_ref, st1_ref, st2_ref,
                     gyk_ref, sums_ref, dk_ref, *, bh, Hin, Hout, eps):
     i, j = pl.program_id(0), pl.program_id(1)
     gy = gy.astype(jnp.float32)                     # (bh+1, C, Wout)
@@ -745,23 +753,24 @@ def _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
     ga = jnp.where(mg, ga, 0.0)
 
     sts = [st0_ref[...], st1_ref[...], st2_ref[...]]
-    sfs = [sf0_ref[...], sf1_ref[...], sf2_ref[...]]
 
     mdt = gyk_ref.dtype
 
-    def lanes_t(g_rows, dw):
-        """(rows, C, Wout) @ S_dw^T -> (rows, C, Win)."""
-        flat = g_rows.reshape(g_rows.shape[0] * C, g_rows.shape[2])
-        out = _mm(flat, sts[dw], mdt)
-        return out.reshape(g_rows.shape[0], C, Win)
+    # ONE lane transform per dw over all bh+1 rows (T_dw = ga @ S_dw^T),
+    # then even/odd are elementwise row-slice combinations and the weight
+    # grad reuses the same T_dw tensors — 3 matmuls/cell total. The old
+    # form (per-slice transforms + 9 activation-side transforms for dk) was
+    # 15 matmuls ≈ 4.6 GF/cell, MXU-bound at 3.7 ms/step (b16/513² xplane).
+    ga_flat = ga.reshape((bh + 1) * C, ga.shape[2])
+    T = [_mm(ga_flat, sts[dw], mdt).reshape(bh + 1, C, Win)
+         for dw in range(3)]
 
     even = jnp.zeros((bh, C, Win), jnp.float32)
     odd = jnp.zeros((bh, C, Win), jnp.float32)
     for dw in range(3):
-        t0 = lanes_t(ga[0:bh], dw)
-        even = even + t0 * k[:, 3 + dw:4 + dw][None]
-        odd = (odd + t0 * k[:, 6 + dw:7 + dw][None]
-               + lanes_t(ga[1:bh + 1], dw) * k[:, dw:dw + 1][None])
+        even = even + T[dw][0:bh] * k[:, 3 + dw:4 + dw][None]
+        odd = (odd + T[dw][0:bh] * k[:, 6 + dw:7 + dw][None]
+               + T[dw][1:bh + 1] * k[:, dw:dw + 1][None])
 
     # relu mask + xhat at the high-res output rows: pairs m = j*bh + p - 1
     # live at akp local p in [1, bh+1)
@@ -782,8 +791,8 @@ def _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
            _grad_sums_tile(gu_e, xh_e, C) + _grad_sums_tile(gu_o, xh_o, C))
 
     # weight grad dk[c, dh*3+dw] = sum_{m,w'} h[2m+dh-1][2w'+dw-1] * ga[m,w']
-    # — the forward tap structure, recomputed from the pair-view halo
-    ga_c = ga[0:bh]
+    #                            = sum_{m,w} h_dh[m,c,w] * T_dw[m,c,w]
+    # — reuses the already-computed T_dw lane transforms: zero extra matmuls
     col = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
     dk_tile = jnp.zeros((C, 128), jnp.float32)
     for dh in range(3):
@@ -797,11 +806,8 @@ def _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
         gr = 2 * (rr + j * bh) + first
         hh = jnp.where((gr >= 0) & (gr < Hin),
                        jnp.clip(uu, 0.0, 6.0), 0.0)
-        flat = hh.reshape(bh * C, Win)
         for dw in range(3):
-            tap = _mm(flat, sfs[dw], mdt)
-            tap = tap.reshape(bh, C, ga_c.shape[2])
-            v = jnp.sum(tap * ga_c, axis=(0, 2))
+            v = jnp.sum(hh * T[dw][0:bh].astype(jnp.float32), axis=(0, 2))
             dk_tile += jnp.where(col == dh * 3 + dw, v[:, None], 0.0)
     _accum_global(dk_ref, i, j, dk_tile)
 
@@ -893,8 +899,6 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, Win, eps, interpret,
     hout = (Hin + 1) // 2
     nh = pl.cdiv(hout, BH)
     akp = a_k.reshape(n, R // 2, 2 * c, win)         # free pair-view bitcast
-    sf = [jnp.asarray(s)
-          for s in _sel_matrices(Win, wout_real, win, wout)]
     st = [jnp.asarray(np.ascontiguousarray(s.T))
           for s in _sel_matrices(Win, wout_real, win, wout)]
     if _dma_enabled():
@@ -930,7 +934,6 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, Win, eps, interpret,
         grid=(n, nh),
         in_specs=win_specs + [
             _const((c, 6)), _const((c, 4)), _const((c, 9)),
-            _const((win, wout)), _const((win, wout)), _const((win, wout)),
             _const((wout, win)), _const((wout, win)), _const((wout, win)),
         ],
         out_specs=(
@@ -944,7 +947,7 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, Win, eps, interpret,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_CP,
-    )(gy, a_next, akp, pn, bnk, k, *sf, *st)
+    )(gy, a_next, akp, pn, bnk, k, *st)
     gyk = gykp.reshape(n, R, c, win)                 # free bitcast back
     return gyk, sums.sum(0)[:, :2], dk[:, :9]
 

@@ -53,28 +53,23 @@ def main():
             return thru_features(m, x, upto)
         return f
 
+    def thru_aspp(m, x):
+        feats = m.backbone(x)
+        return m.classifier.aspp(feats["out"]), feats["low_level"]
+
     def full(m, x):
         return m(x, class_major=True, upsample=False)
 
     segs = {"q0_f0_3": seg(3), "q1_f0_7": seg(7), "q2_f0_14": seg(14),
-            "q3_backbone": seg(18), "q4_full": full}
+            "q3_backbone": seg(18), "q3a_aspp": thru_aspp, "q4_full": full}
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, S, S, 3), jnp.bfloat16)
 
-    times = {}
-    for name, fn in segs.items():
-        @jax.jit
-        def prog(params, rest, x, carry, fn=fn):
-            m = nnx.merge(graphdef, params, rest)
+    def _sq(y):
+        return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-6
 
-            def loss_fn(m):
-                y = fn(m, x + carry.astype(x.dtype))
-                return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-6
-
-            loss, grads = nnx.value_and_grad(loss_fn)(m)
-            return loss * 1e-6
-
+    def _time(prog):
         carry = jnp.zeros((), jnp.float32)
         carry = prog(params, rest, x, carry)
         carry = prog(params, rest, x, carry)
@@ -84,18 +79,53 @@ def main():
         for _ in range(iters):
             carry = prog(params, rest, x, carry)
         _ = float(carry)
-        times[name] = float((time.perf_counter() - t0) / iters * 1000)
-        print(f"{name}: {times[name]:.2f} ms", flush=True)
+        return float((time.perf_counter() - t0) / iters * 1000)
 
-    d = {
-        "f0-2(stem)": times["q0_f0_3"],
-        "f3-6(129²)": times["q1_f0_7"] - times["q0_f0_3"],
-        "f7-13(33²)": times["q2_f0_14"] - times["q1_f0_7"],
-        "f14-17": times["q3_backbone"] - times["q2_f0_14"],
-        "head": times["q4_full"] - times["q3_backbone"],
-    }
-    print("fwd+bwd deltas: " + "  ".join(f"{k}={v:.2f}" for k, v in d.items())
-          + f"  total={times['q4_full']:.2f} ms (b{B}, {S}²)")
+    times, ftimes = {}, {}
+    for name, fn in segs.items():
+        @jax.jit
+        def prog(params, rest, x, carry, fn=fn):
+            m = nnx.merge(graphdef, params, rest)
+
+            def loss_fn(m):
+                y = fn(m, x + carry.astype(x.dtype))
+                return (sum(_sq(t) for t in y) if isinstance(y, tuple)
+                        else _sq(y))
+
+            loss, grads = nnx.value_and_grad(loss_fn)(m)
+            # fold EVERY grad leaf into the carry — an unused grad tree is
+            # dead code and XLA deletes the whole backward
+            gsum = sum(jnp.sum(g.astype(jnp.float32))
+                       for g in jax.tree.leaves(grads))
+            return (loss + gsum) * 1e-9
+
+        @jax.jit
+        def prog_fwd(params, rest, x, carry, fn=fn):
+            m = nnx.merge(graphdef, params, rest)
+            y = fn(m, x + carry.astype(x.dtype))
+            return (sum(_sq(t) for t in y) if isinstance(y, tuple)
+                    else _sq(y)) * 1e-9
+
+        times[name] = _time(prog)
+        ftimes[name] = _time(prog_fwd)
+        print(f"{name}: fwd+bwd {times[name]:.2f} ms   fwd {ftimes[name]:.2f} ms",
+              flush=True)
+
+    def report(ts, tag):
+        d = {
+            "f0-2(stem)": ts["q0_f0_3"],
+            "f3-6(129²)": ts["q1_f0_7"] - ts["q0_f0_3"],
+            "f7-13(33²)": ts["q2_f0_14"] - ts["q1_f0_7"],
+            "f14-17": ts["q3_backbone"] - ts["q2_f0_14"],
+            "aspp": ts["q3a_aspp"] - ts["q3_backbone"],
+            "decoder": ts["q4_full"] - ts["q3a_aspp"],
+        }
+        print(f"{tag} deltas: "
+              + "  ".join(f"{k}={v:.2f}" for k, v in d.items())
+              + f"  total={ts['q4_full']:.2f} ms (b{B}, {S}²)")
+
+    report(times, "fwd+bwd")
+    report(ftimes, "fwd")
 
 
 if __name__ == "__main__":
