@@ -145,6 +145,32 @@ def pallas_interpret_mode() -> bool:
         return True
 
 
+# Fused Pallas IR chain (ops.pallas.irchain): runs MobileNetV2
+# features[3..6] as batch-folded (N·W-on-lanes) channel-sublane passes in
+# training mode — the stock-XLA cluster is 9.4ms fwd+bwd vs a 2.8ms bound
+# at b16/513² (round-3 profile). None = auto: same policy as the stem.
+# Opt-in (False) until the kernel is measured on real hardware — parity is
+# pinned by tests/test_pallas_ir.py, but the v5e VMEM/latency behavior of
+# the NW-folded passes is unverified (the relay was down when this landed).
+# Env: KDCC_PALLAS_IR=0/1.
+use_pallas_ir: bool | None = False
+
+
+def pallas_ir_enabled() -> bool:
+    env = os.environ.get("KDCC_PALLAS_IR")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_pallas_ir is not None:
+        return use_pallas_ir
+    try:
+        import jax
+
+        return (jax.default_backend() in ("tpu", "axon")
+                and (jax.device_count() == 1 or _active_mesh is not None))
+    except Exception:
+        return False
+
+
 # Decoder concat-split: compute fuse(cat(low, up)) as fuseA(low) + fuseB(up)
 # (channel-split of the fuse kernel — exact algebra for dense AND separable
 # fuse convs), so the 304-channel concat tensor and its pad/copy glue never

@@ -175,8 +175,11 @@ class MobileNetV2(nnx.Module):
             p[f"g{i}"] = bn.scale[...]
             p[f"b{i}"] = bn.bias[...]
         mesh = config.active_mesh()
-        if mesh is not None and jax.device_count() > 1:
-            # SPMD: shard_map-wrapped passes with psum'd (global) BN moments
+        if (mesh is not None and jax.device_count() > 1
+                and a0.shape[0] % mesh.devices.size == 0):
+            # SPMD: shard_map-wrapped passes with psum'd (global) BN moments.
+            # Non-divisible batches (e.g. a stale mesh left by an unrelated
+            # in-process run) fall back to the unsharded kernel.
             out, stats = fused_stem_f1f2_sharded(
                 a0, p, mesh, float(f0.bn.epsilon),
                 config.pallas_interpret_mode())
@@ -189,14 +192,84 @@ class MobileNetV2(nnx.Module):
             bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
         return out
 
+    def _fused_ir_active(self) -> bool:
+        """Structural guard for the fused f3..f6 IR chain
+        (ops.pallas.irchain._BLOCKS shapes, stride/dilation/residual flags,
+        train mode, no cheap-conv surgery inside)."""
+        from .. import config
+        from ..ops.pallas.irchain import _BLOCKS
+
+        if not config.pallas_ir_enabled():
+            return False
+        if self.features[0].bn.use_running_average:
+            return False
+        try:
+            for i, (stride, cin, ce, cout, res) in enumerate(_BLOCKS):
+                f = self.features[3 + i]
+                if (f.use_res_connect != res
+                        or len(f.body) != 2
+                        or f.body[0].conv.kernel[...].shape != (1, 1, cin, ce)
+                        or f.body[1].conv.kernel[...].shape != (3, 3, 1, ce)
+                        or f.body[1].conv.stride != (stride, stride)
+                        or f.body[1].conv.dilation != (1, 1)
+                        or f.body[1].conv.groups != ce
+                        or f.pw_linear.kernel[...].shape != (1, 1, ce, cout)):
+                    return False
+            return True
+        except (AttributeError, IndexError, TypeError):
+            return False
+
+    def _call_fused_ir(self, x):
+        """features[3..6] via ops.pallas.irchain (batch-folded NW layout);
+        running-stat updates with each BN's own momentum. Returns
+        (f6 output, low_level = f3 output)."""
+        import jax
+
+        from .. import config
+        from ..ops.pallas.irchain import fused_ir_chain, fused_ir_chain_sharded
+
+        dw = lambda kv: kv[:, :, 0, :].transpose(2, 0, 1).reshape(
+            kv.shape[3], 9)
+        pw = lambda kv: kv[0, 0].T
+        p = {}
+        bns = []
+        for i in range(4):
+            f = self.features[3 + i]
+            p[f"we{i}"] = pw(f.body[0].conv.kernel[...])
+            p[f"k{i}"] = dw(f.body[1].conv.kernel[...])
+            p[f"wp{i}"] = pw(f.pw_linear.kernel[...])
+            for tag, bn in (("e", f.body[0].bn), ("d", f.body[1].bn),
+                            ("p", f.pw_bn)):
+                p[f"g{tag}{i}"] = bn.scale[...]
+                p[f"b{tag}{i}"] = bn.bias[...]
+                bns.append(bn)
+        eps = float(self.features[3].body[0].bn.epsilon)
+        mesh = config.active_mesh()
+        if (mesh is not None and jax.device_count() > 1
+                and x.shape[0] % mesh.devices.size == 0):
+            out, low, stats = fused_ir_chain_sharded(
+                x, p, mesh, eps, config.pallas_interpret_mode())
+        else:
+            out, low, stats = fused_ir_chain(
+                x, p, x.shape[0], eps, config.pallas_interpret_mode())
+        for bn, (m, v) in zip(bns, stats):
+            mom = bn.momentum
+            bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m
+            bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
+        return out, low
+
     def __call__(self, x):
         import jax.numpy as jnp
 
         if self._fused_stem_active():
             x = self._call_fused_stem(x)
+            start = 3
             low_level = None
+            if self._fused_ir_active():
+                x, low_level = self._call_fused_ir(x)
+                start = 7
             for i, m in enumerate(self.features):
-                if i < 3:
+                if i < start:
                     continue
                 x = m(x)
                 if i == 3:

@@ -64,7 +64,10 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 BH = int(os.environ.get("KDCC_STEM_BH", "16"))  # output rows per grid cell
-_CP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# 112 MiB of v5e's 128 MiB VMEM: the NW-folded IR-chain s2 pass (irchain.py)
+# carries three f32 (2176, 1152) selection matrices and lands 8 KiB over the
+# default 100 MiB scoped limit.
+_CP = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
 PAD = 2 * BH  # top pad rows: 2 BH blocks; PAD//2 = BH = 1 pair block
 
 
@@ -99,18 +102,24 @@ def _mask_lanes(x, wreal):
     return jnp.where(lane < wreal, x, 0.0)
 
 
-def _sel_matrices(w_in: int, w_out: int, wp_in: int, wp_out: int):
+def _sel_matrices(w_in: int, w_out: int, wp_in: int, wp_out: int,
+                  n_img: int = 1):
     """Static 0/1 selection matrices S_dw (wp_in, wp_out): S[w, w'] = 1 iff
     w == 2*w' + dw - 1 (stride-2, pad-1 3-tap contraction along W), zero
     outside the real (w_in, w_out) ranges — pad-lane garbage multiplies
-    zero rows, and pad output lanes get zero columns."""
+    zero rows, and pad output lanes get zero columns.
+
+    n_img > 1: batch-folded (NW-on-lanes) layout — the matrix is block-
+    diagonal over per-image [w_in]/[w_out] lane segments (wp_* then pad the
+    FOLDED extents n_img*w_in / n_img*w_out)."""
     mats = []
     for dw in range(3):
         s = np.zeros((wp_in, wp_out), np.float32)
-        for wp in range(w_out):
-            w = 2 * wp + dw - 1
-            if 0 <= w < w_in:
-                s[w, wp] = 1.0
+        for img in range(n_img):
+            for wp in range(w_out):
+                w = 2 * wp + dw - 1
+                if 0 <= w < w_in:
+                    s[img * w_in + w, img * w_out + wp] = 1.0
         mats.append(s)
     return mats
 
@@ -212,12 +221,22 @@ def _halo_fetch(refs, starts, rows, bufs, sems, j, nh):
     return out
 
 
-def _dw_taps(h, k, bh, W, flip=False):
+def _dw_taps(h, k, bh, W, flip=False, wseg=None):
     """Stride-1 3x3 depthwise on bn'd halo rows h (bh+2, C, W) with
     per-channel kernel k (C, 9). flip=True uses the spatially flipped
     kernel (transpose conv) via static tap reindexing — Mosaic has no
-    `rev` lowering. Returns (bh, C, W) f32."""
+    `rev` lowering. Returns (bh, C, W) f32.
+
+    wseg: per-image lane-segment width for the batch-folded (NW-on-lanes)
+    layout — the conv zero-pad boundary is then at every multiple of wseg
+    (the circular roll leaks image i-1's edge column into image i's w=0
+    position, which is exactly the masked position)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    if wseg is not None:
+        lane = lane % wseg
+        edge = wseg
+    else:
+        edge = W
     acc = jnp.zeros((bh, h.shape[1], W), jnp.float32)
     for dh in range(3):
         rows = h[dh:dh + bh]
@@ -232,7 +251,7 @@ def _dw_taps(h, k, bh, W, flip=False):
                 if dw == 0:
                     sh = jnp.where(lane >= 1, sh, 0.0)
                 else:
-                    sh = jnp.where(lane < W - 1, sh, 0.0)
+                    sh = jnp.where(lane < edge - 1, sh, 0.0)
             t = 8 - (dh * 3 + dw) if flip else dh * 3 + dw
             acc = acc + sh * k[:, t:t + 1][None]
     return acc
@@ -242,34 +261,37 @@ def _dw_taps(h, k, bh, W, flip=False):
 # forward kernels
 # ---------------------------------------------------------------------------
 
-def _bn_dw_body(x, bn_ref, k_ref, y_ref, s_ref, j, *, bh, H, W, relu, eps):
+def _bn_dw_body(x, bn_ref, k_ref, y_ref, s_ref, j, *, bh, H, W, relu, eps,
+                wseg=None):
     x = x.astype(jnp.float32)
     h = _bn_apply(x, bn_ref[...].astype(jnp.float32), relu, eps)
     h = _mask_rows(h, j, bh, -1, H)              # conv zero-pad + garbage
     h = _mask_lanes(h, W)                        # pad lanes: bn beta garbage
-    y = _dw_taps(h, k_ref[...].astype(jnp.float32), bh, x.shape[2])
+    y = _dw_taps(h, k_ref[...].astype(jnp.float32), bh, x.shape[2],
+                 wseg=wseg)
     y = _mask_lanes(y, W)                        # roll spill into pad lanes
     y_ref[0] = y.astype(y_ref.dtype)
     m = _rows_in(bh, j, bh, 0, H)
     _accum(s_ref, j, _stats_tile(y, m, y.shape[1]))
 
 
-def _k_bn_dw(x_ref, bn_ref, k_ref, y_ref, s_ref, *, bh, H, W, relu, eps):
+def _k_bn_dw(x_ref, bn_ref, k_ref, y_ref, s_ref, *, bh, H, W, relu, eps,
+             wseg=None):
     """bn(+relu6) -> depthwise 3x3 s1 -> y + next-BN moments.
     x block (1, bh+2, C, Wp) halo rows starting at global j*bh-1."""
     j = pl.program_id(1)
     _bn_dw_body(x_ref[0], bn_ref, k_ref, y_ref, s_ref, j,
-                bh=bh, H=H, W=W, relu=relu, eps=eps)
+                bh=bh, H=H, W=W, relu=relu, eps=eps, wseg=wseg)
 
 
 def _k_bn_dw_dma(x_hbm, bn_ref, k_ref, y_ref, s_ref, buf, sem, *,
-                 bh, H, W, relu, eps):
+                 bh, H, W, relu, eps, wseg=None):
     """_k_bn_dw with the halo window fetched by double-buffered DMA."""
     j = pl.program_id(1)
     (x,) = _halo_fetch([x_hbm], [lambda jj: PAD + jj * bh - 1], [bh + 2],
                        [buf], [sem], j, pl.num_programs(1))
     _bn_dw_body(x, bn_ref, k_ref, y_ref, s_ref, j,
-                bh=bh, H=H, W=W, relu=relu, eps=eps)
+                bh=bh, H=H, W=W, relu=relu, eps=eps, wseg=wseg)
 
 
 def _k_bn_pw(x_ref, bn_ref, w_ref, y_ref, s_ref, *, bh, H, W, relu, eps):
@@ -382,17 +404,18 @@ def _moments(sums, count, axis=None):
     return mean, var
 
 
-def _blk(c, w, off=PAD // BH):
-    """Standard blocked (1, BH, c, w) spec with the PAD block offset."""
-    return pl.BlockSpec((1, BH, c, w), lambda i, j, off=off: (i, j + off, 0, 0),
+def _blk(c, w, bh=BH):
+    """Standard blocked (1, bh, c, w) spec with the PAD block offset."""
+    off = PAD // bh
+    return pl.BlockSpec((1, bh, c, w), lambda i, j, off=off: (i, j + off, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _halo(c, w):
-    """Element (1, BH+2, c, w) halo spec starting at global row j*BH-1."""
+def _halo(c, w, bh=BH):
+    """Element (1, bh+2, c, w) halo spec starting at global row j*bh-1."""
     return pl.BlockSpec(
-        (pl.Element(1), pl.Element(BH + 2), pl.Element(c), pl.Element(w)),
-        lambda i, j: (i, PAD + j * BH - 1, 0, 0),
+        (pl.Element(1), pl.Element(bh + 2), pl.Element(c), pl.Element(w)),
+        lambda i, j: (i, PAD + j * bh - 1, 0, 0),
         memory_space=pltpu.VMEM)
 
 
@@ -408,21 +431,21 @@ def _stats_out(c):
 
 
 def _run_bn_dw(x, bn, k, H, W, relu, eps, interpret, out_dtype,
-               axis=None, nsh=1):
+               axis=None, nsh=1, wseg=None, bh=BH):
     """x (N,R,C,Wp) padded pre-BN; W = real lane extent; returns
     (y padded, mean, var of y)."""
     n, R, c, w = x.shape
-    nh = pl.cdiv(H, BH)
+    nh = pl.cdiv(H, bh)
     if _dma_enabled():
-        kern = functools.partial(_k_bn_dw_dma, bh=BH, H=H, W=W, relu=relu,
-                                 eps=eps)
+        kern = functools.partial(_k_bn_dw_dma, bh=bh, H=H, W=W, relu=relu,
+                                 eps=eps, wseg=wseg)
         x_spec = pl.BlockSpec(memory_space=pl.ANY)
-        scratch = [pltpu.VMEM((2, BH + 2, c, w), x.dtype),
+        scratch = [pltpu.VMEM((2, bh + 2, c, w), x.dtype),
                    pltpu.SemaphoreType.DMA((2,))]
     else:
-        kern = functools.partial(_k_bn_dw, bh=BH, H=H, W=W, relu=relu,
-                                 eps=eps)
-        x_spec = _halo(c, w)
+        kern = functools.partial(_k_bn_dw, bh=bh, H=H, W=W, relu=relu,
+                                 eps=eps, wseg=wseg)
+        x_spec = _halo(c, w, bh)
         scratch = []
     y, sums = pl.pallas_call(
         kern,
@@ -430,7 +453,7 @@ def _run_bn_dw(x, bn, k, H, W, relu, eps, interpret, out_dtype,
                    jax.ShapeDtypeStruct((n, c, 128), jnp.float32)),
         grid=(n, nh),
         in_specs=[x_spec, _const((c, 4)), _const((c, 9))],
-        out_specs=(_blk(c, w), _stats_out(c)),
+        out_specs=(_blk(c, w, bh), _stats_out(c)),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_CP,
@@ -440,19 +463,19 @@ def _run_bn_dw(x, bn, k, H, W, relu, eps, interpret, out_dtype,
 
 
 def _run_bn_pw(x, bn, w2, H, W, relu, eps, interpret, out_dtype,
-               axis=None, nsh=1):
+               axis=None, nsh=1, bh=BH):
     """x (N,R,Ci,Wp) padded; w2 (Co,Ci); W = real lane extent; returns
     (y padded, mean, var)."""
     n, R, ci, w = x.shape
     co = w2.shape[0]
-    nh = pl.cdiv(H, BH)
+    nh = pl.cdiv(H, bh)
     y, sums = pl.pallas_call(
-        functools.partial(_k_bn_pw, bh=BH, H=H, W=W, relu=relu, eps=eps),
+        functools.partial(_k_bn_pw, bh=bh, H=H, W=W, relu=relu, eps=eps),
         out_shape=(jax.ShapeDtypeStruct((n, R, co, w), out_dtype),
                    jax.ShapeDtypeStruct((n, co, 128), jnp.float32)),
         grid=(n, nh),
-        in_specs=[_blk(ci, w), _const((ci, 4)), _const((co, ci))],
-        out_specs=(_blk(co, w), _stats_out(co)),
+        in_specs=[_blk(ci, w, bh), _const((ci, 4)), _const((co, ci))],
+        out_specs=(_blk(co, w, bh), _stats_out(co)),
         interpret=interpret,
         compiler_params=_CP,
     )(x, bn, w2)
@@ -461,33 +484,35 @@ def _run_bn_pw(x, bn, w2, H, W, relu, eps, interpret, out_dtype,
 
 
 def _run_bn_dw_s2(x, bn, k, Hin, Win, R2, eps, interpret, out_dtype,
-                  axis=None, nsh=1):
+                  axis=None, nsh=1, n_img=1, bh=BH):
     """x (N,R,C,Wp) padded pre-BN; Win = real lane extent; stride-2 dw;
     returns (y (N,R2,C,Wout_p) padded, mean, var). Hout = (Hin+1)//2,
     Wout = (Win+1)//2 (pad-1) — pad lanes handled by the zero-extended
     selection matrices."""
     n, R, c, wp = x.shape
     hout = (Hin + 1) // 2
-    wout_real = (Win + 1) // 2
+    wseg_in = Win // n_img
+    wseg_out = (wseg_in + 1) // 2
+    wout_real = wseg_out * n_img
     wout = _lanes(wout_real)
     win = wp
-    nh = pl.cdiv(hout, BH)
+    nh = pl.cdiv(hout, bh)
     xp = x.reshape(n, R // 2, 2 * c, wp)             # free pair-view bitcast
     sels = [jnp.asarray(s)
-            for s in _sel_matrices(Win, wout_real, wp, wout)]
+            for s in _sel_matrices(wseg_in, wseg_out, wp, wout, n_img)]
     if _dma_enabled():
-        kern = functools.partial(_k_bn_dw_s2_dma, bh=BH, Hin=Hin, Hout=hout,
+        kern = functools.partial(_k_bn_dw_s2_dma, bh=bh, Hin=Hin, Hout=hout,
                                  eps=eps)
         x_spec = pl.BlockSpec(memory_space=pl.ANY)
-        scratch = [pltpu.VMEM((2, BH + 1, 2 * c, win), x.dtype),
+        scratch = [pltpu.VMEM((2, bh + 1, 2 * c, win), x.dtype),
                    pltpu.SemaphoreType.DMA((2,))]
     else:
-        kern = functools.partial(_k_bn_dw_s2, bh=BH, Hin=Hin, Hout=hout,
+        kern = functools.partial(_k_bn_dw_s2, bh=bh, Hin=Hin, Hout=hout,
                                  eps=eps)
         x_spec = pl.BlockSpec(
-            (pl.Element(1), pl.Element(BH + 1), pl.Element(2 * c),
+            (pl.Element(1), pl.Element(bh + 1), pl.Element(2 * c),
              pl.Element(win)),
-            lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0),
+            lambda i, j: (i, PAD // 2 + j * bh - 1, 0, 0),
             memory_space=pltpu.VMEM)
         scratch = []
     y, sums = pl.pallas_call(
@@ -498,7 +523,7 @@ def _run_bn_dw_s2(x, bn, k, Hin, Win, R2, eps, interpret, out_dtype,
         in_specs=[x_spec, _const((c, 4)), _const((c, 9)),
                   _const((win, wout)), _const((win, wout)),
                   _const((win, wout))],
-        out_specs=(_blk(c, wout), _stats_out(c)),
+        out_specs=(_blk(c, wout, bh), _stats_out(c)),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_CP,
@@ -612,7 +637,7 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
 
 
 def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
-              gyk_ref, sums_ref, dk_ref, *, bh, H, W, eps):
+              gyk_ref, sums_ref, dk_ref, *, bh, H, W, eps, wseg=None):
     """Backward over [bn_k(relu6) -> dw3x3 s1 -> a_next] given gy_next.
 
     gy/a_next halo blocks (1,bh+2,C,W) (transpose-conv needs g halos; the
@@ -621,7 +646,8 @@ def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
     Outputs gy_k (1,bh,C,W), sums, dk (C, 128) cols 0..8 global accum.
     """
     _dw_bwd_body(gy_ref[0], an_ref[0], ak_ref[0], pn_ref, bnk_ref, k_ref,
-                 gyk_ref, sums_ref, dk_ref, bh=bh, H=H, Wreal=W, eps=eps)
+                 gyk_ref, sums_ref, dk_ref, bh=bh, H=H, Wreal=W, eps=eps,
+                 wseg=wseg)
 
 
 def _k_dw_bwd_dma(gy_hbm, an_hbm, ak_hbm, pn_ref, bnk_ref, k_ref,
@@ -637,7 +663,8 @@ def _k_dw_bwd_dma(gy_hbm, an_hbm, ak_hbm, pn_ref, bnk_ref, k_ref,
 
 
 def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
-                 gyk_ref, sums_ref, dk_ref, *, bh, H, Wreal, eps):
+                 gyk_ref, sums_ref, dk_ref, *, bh, H, Wreal, eps,
+                 wseg=None):
     i, j = pl.program_id(0), pl.program_id(1)
     gy = gy.astype(jnp.float32)                     # (bh+2, C, Wp)
     an = an.astype(jnp.float32)
@@ -658,11 +685,16 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
 
     # transpose conv: gh[h,w] = sum K[dh,dw] * ga[h-dh+1, w-dw+1]
     # == dw-conv of ga with the spatially flipped kernel
-    gh = _dw_taps(ga, k, bh, W, flip=True)          # (bh, C, W)
+    gh = _dw_taps(ga, k, bh, W, flip=True, wseg=wseg)    # (bh, C, W)
 
     # weight grad: dk[c, t] = sum taps(h)[t] * ga_center
     ga_c = ga[1:1 + bh]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    if wseg is not None:
+        lane = lane % wseg
+        edge = wseg
+    else:
+        edge = W
     cols = []
     for dh in range(3):
         rows = h[dh:dh + bh]
@@ -675,7 +707,7 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
                 if dw == 0:
                     sh = jnp.where(lane >= 1, sh, 0.0)
                 else:
-                    sh = jnp.where(lane < W - 1, sh, 0.0)
+                    sh = jnp.where(lane < edge - 1, sh, 0.0)
             cols.append(jnp.sum(sh * ga_c, axis=(0, 2)))  # (C,)
     col = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
     dk_tile = jnp.zeros((C, 128), jnp.float32)
@@ -829,23 +861,23 @@ def _bnbwd_identity(c):
 
 
 def _run_pw_bwd(gy, a_next, a_k, pn, bnk, w2, H, W, relu_k, eps, interpret,
-                gdt):
+                gdt, bh=BH):
     """All arrays padded (N,R,·,Wp); W = real lane extent. Returns
     (gy_k padded, sums (Ci,2), dW (Co,Ci))."""
     n, R, co, w = gy.shape
     ci = a_k.shape[2]
-    nh = pl.cdiv(H, BH)
+    nh = pl.cdiv(H, bh)
     wt = jnp.transpose(w2, (1, 0))                  # (Ci, Co)
     gyk, sums, dw = pl.pallas_call(
-        functools.partial(_k_pw_bwd, bh=BH, H=H, W=W, relu_k=relu_k,
+        functools.partial(_k_pw_bwd, bh=bh, H=H, W=W, relu_k=relu_k,
                           eps=eps),
         out_shape=(jax.ShapeDtypeStruct((n, R, ci, w), gdt),
                    jax.ShapeDtypeStruct((n, ci, 128), jnp.float32),
                    jax.ShapeDtypeStruct((co, ci), jnp.float32)),
         grid=(n, nh),
-        in_specs=[_blk(co, w), _blk(co, w), _blk(ci, w),
+        in_specs=[_blk(co, w, bh), _blk(co, w, bh), _blk(ci, w, bh),
                   _const((co, 6)), _const((ci, 4)), _const((ci, co))],
-        out_specs=(_blk(ci, w), _stats_out(ci),
+        out_specs=(_blk(ci, w, bh), _stats_out(ci),
                    pl.BlockSpec((co, ci), lambda i, j: (0, 0),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
@@ -855,19 +887,21 @@ def _run_pw_bwd(gy, a_next, a_k, pn, bnk, w2, H, W, relu_k, eps, interpret,
     return gyk, s, dw
 
 
-def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, W, eps, interpret, gdt):
+def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, W, eps, interpret, gdt,
+                wseg=None, bh=BH):
     """Stride-1 dw backward on padded arrays; W = real lane extent.
     Returns (gy_k padded, sums (C,2), dk (C,9))."""
     n, R, c, w = gy.shape
-    nh = pl.cdiv(H, BH)
+    nh = pl.cdiv(H, bh)
     if _dma_enabled():
-        kern = functools.partial(_k_dw_bwd_dma, bh=BH, H=H, W=W, eps=eps)
+        kern = functools.partial(_k_dw_bwd_dma, bh=bh, H=H, W=W, eps=eps)
         halo_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
-        buf = lambda: pltpu.VMEM((2, BH + 2, c, w), gy.dtype)
+        buf = lambda: pltpu.VMEM((2, bh + 2, c, w), gy.dtype)
         scratch = [buf(), buf(), buf()] + [pltpu.SemaphoreType.DMA((2,))] * 3
     else:
-        kern = functools.partial(_k_dw_bwd, bh=BH, H=H, W=W, eps=eps)
-        halo_specs = [_halo(c, w)] * 3
+        kern = functools.partial(_k_dw_bwd, bh=bh, H=H, W=W, eps=eps,
+                                 wseg=wseg)
+        halo_specs = [_halo(c, w, bh)] * 3
         scratch = []
     gyk, sums, dk = pl.pallas_call(
         kern,
@@ -877,7 +911,7 @@ def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, W, eps, interpret, gdt):
         grid=(n, nh),
         in_specs=halo_specs + [
             _const((c, 6)), _const((c, 4)), _const((c, 9))],
-        out_specs=(_blk(c, w), _stats_out(c),
+        out_specs=(_blk(c, w, bh), _stats_out(c),
                    pl.BlockSpec((c, 128), lambda i, j: (0, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=scratch,
@@ -888,41 +922,43 @@ def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, W, eps, interpret, gdt):
 
 
 def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, Win, eps, interpret,
-                   gdt):
+                   gdt, n_img=1, bh=BH):
     """Stride-2 dw backward. gy/a_next (N,R2,C,Wout_p) padded;
     a_k (N,R,C,Wp) padded; Win = real input lane extent. Returns
     (gy_k (N,R,C,Wp) padded in pair-block writes, sums (C,2), dk (C,9))."""
     n, R2, c, wout = gy.shape
     R = a_k.shape[1]
     win = a_k.shape[3]
-    wout_real = (Win + 1) // 2
+    wseg_in = Win // n_img
+    wseg_out = (wseg_in + 1) // 2
+    wout_real = wseg_out * n_img
     hout = (Hin + 1) // 2
-    nh = pl.cdiv(hout, BH)
+    nh = pl.cdiv(hout, bh)
     akp = a_k.reshape(n, R // 2, 2 * c, win)         # free pair-view bitcast
     st = [jnp.asarray(np.ascontiguousarray(s.T))
-          for s in _sel_matrices(Win, wout_real, win, wout)]
+          for s in _sel_matrices(wseg_in, wseg_out, win, wout, n_img)]
     if _dma_enabled():
-        kern = functools.partial(_k_dw_s2_bwd_dma, bh=BH, Hin=Hin, Hout=hout,
+        kern = functools.partial(_k_dw_s2_bwd_dma, bh=bh, Hin=Hin, Hout=hout,
                                  eps=eps)
         win_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
-        scratch = [pltpu.VMEM((2, BH + 1, c, wout), gy.dtype),
-                   pltpu.VMEM((2, BH + 1, c, wout), a_next.dtype),
-                   pltpu.VMEM((2, BH + 1, 2 * c, win), a_k.dtype),
+        scratch = [pltpu.VMEM((2, bh + 1, c, wout), gy.dtype),
+                   pltpu.VMEM((2, bh + 1, c, wout), a_next.dtype),
+                   pltpu.VMEM((2, bh + 1, 2 * c, win), a_k.dtype),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
     else:
-        kern = functools.partial(_k_dw_s2_bwd, bh=BH, Hin=Hin, Hout=hout,
+        kern = functools.partial(_k_dw_s2_bwd, bh=bh, Hin=Hin, Hout=hout,
                                  eps=eps)
         halo_g = pl.BlockSpec(
-            (pl.Element(1), pl.Element(BH + 1), pl.Element(c),
+            (pl.Element(1), pl.Element(bh + 1), pl.Element(c),
              pl.Element(wout)),
-            lambda i, j: (i, PAD + j * BH, 0, 0),
+            lambda i, j: (i, PAD + j * bh, 0, 0),
             memory_space=pltpu.VMEM)
         pair_halo = pl.BlockSpec(
-            (pl.Element(1), pl.Element(BH + 1), pl.Element(2 * c),
+            (pl.Element(1), pl.Element(bh + 1), pl.Element(2 * c),
              pl.Element(win)),
-            lambda i, j: (i, PAD // 2 + j * BH - 1, 0, 0),
+            lambda i, j: (i, PAD // 2 + j * bh - 1, 0, 0),
             memory_space=pltpu.VMEM)
         win_specs = [halo_g, halo_g, pair_halo]
         scratch = []
@@ -937,8 +973,8 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, Win, eps, interpret,
             _const((wout, win)), _const((wout, win)), _const((wout, win)),
         ],
         out_specs=(
-            pl.BlockSpec((1, BH, 2 * c, win),
-                         lambda i, j: (i, j + PAD // (2 * BH), 0, 0),
+            pl.BlockSpec((1, bh, 2 * c, win),
+                         lambda i, j, off=PAD // (2 * bh): (i, j + off, 0, 0),
                          memory_space=pltpu.VMEM),
             _stats_out(c),
             pl.BlockSpec((c, 128), lambda i, j: (0, 0),

@@ -147,6 +147,16 @@ def get_dataset(opts):
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    finally:
+        # In-process callers (tests, notebooks) may run several mains per
+        # process: never leak the registered mesh into later model calls.
+        from kd_cheap_conv_tpu import config as _kdcc_config
+        _kdcc_config.set_active_mesh(None)
+
+
+def _main(argv=None) -> int:
     opts = get_argparser().parse_args(argv)
     if opts.download:
         print("--download is unsupported in this offline environment; "

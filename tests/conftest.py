@@ -23,3 +23,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _no_stale_active_mesh():
+    """The active-mesh registry (kd_cheap_conv_tpu.config.set_active_mesh)
+    is process-global trace-time state; a test that forgets to clear it
+    makes LATER tests' model calls take the shard_map path with whatever
+    batch they use (found: in-process cli.main() leaked its mesh and a
+    batch-2 module test 10 files later hit the divisibility error)."""
+    yield
+    from kd_cheap_conv_tpu import config
+
+    config.set_active_mesh(None)
