@@ -116,6 +116,23 @@ def pallas_decoder_enabled() -> bool:
     return False
 
 
+# Batch-folded fused decoder head (ops.pallas.decoder
+# fused_decoder_head_folded): the same sep-conv+BN+relu+classifier chain as
+# use_pallas_decoder but with lanes = N·W (2064 -> 2176, 1.05x pad, vs the
+# 129 -> 256 = 1.98x pad that made the legacy layout lose). Opt-in (False)
+# until measured on real hardware. Env: KDCC_PALLAS_DECODER_NW=0/1.
+use_pallas_decoder_nw: bool | None = False
+
+
+def pallas_decoder_nw_enabled() -> bool:
+    env = os.environ.get("KDCC_PALLAS_DECODER_NW")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_pallas_decoder_nw is not None:
+        return use_pallas_decoder_nw
+    return False
+
+
 # Pallas depthwise conv routing (ops.pallas.dwconv): replaces XLA's
 # feature-group depthwise lowering wherever groups == C, stride 1, odd k,
 # 'same' padding. Measured SLOWER standalone (0.25-0.87x of lax) but the

@@ -60,17 +60,7 @@ class DeepLabHeadV3Plus(nnx.Module):
         from .. import config
         from ..ops.pallas.decoder import fused_decoder_head
 
-        sep = self.fuse.conv
-        kv = sep.depthwise.kernel[...]
-        p = {
-            "k": jnp.transpose(kv[:, :, 0, :], (2, 0, 1)).reshape(
-                kv.shape[3], 9),
-            "pw": sep.pointwise.kernel[...][0, 0].T,
-            "g": self.fuse.bn.scale[...],
-            "b": self.fuse.bn.bias[...],
-            "wc": self.classifier.kernel[...][0, 0].T,
-            "bc": self.classifier.bias[...],
-        }
+        p = self._head_params()
         xc = jnp.transpose(xcat, (0, 1, 3, 2))        # NHWC -> NHCW
         logits, (m, v) = fused_decoder_head(xc, p, float(self.fuse.bn.epsilon),
                                             config.pallas_interpret_mode())
@@ -79,6 +69,69 @@ class DeepLabHeadV3Plus(nnx.Module):
         bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m
         bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
         return jnp.transpose(logits, (0, 1, 3, 2))    # NHCW -> NHWC
+
+    def _fused_head_nw_active(self, return_features: bool) -> bool:
+        """Structural guard for the batch-folded fused decoder chain
+        (ops.pallas.decoder.fused_decoder_head_folded) — same structure as
+        _fused_head_active under the KDCC_PALLAS_DECODER_NW knob."""
+        from .. import config
+
+        if return_features or not config.pallas_decoder_nw_enabled():
+            return False
+        try:
+            sep = self.fuse.conv
+            dw, pw = sep.depthwise, sep.pointwise
+            return (self.fuse.bn.use_running_average is False
+                    and dw.kernel_size == (3, 3) and dw.stride == (1, 1)
+                    and dw.dilation == (1, 1) and dw.padding == (1, 1)
+                    and dw.groups == dw.in_channels
+                    and pw.bias is None and pw.kernel_size == (1, 1)
+                    and self.classifier.kernel_size == (1, 1)
+                    and self.classifier.bias is not None
+                    and dw.in_channels % 8 == 0)
+        except AttributeError:
+            return False
+
+    def _head_params(self):
+        import jax.numpy as jnp
+
+        sep = self.fuse.conv
+        kv = sep.depthwise.kernel[...]
+        return {
+            "k": jnp.transpose(kv[:, :, 0, :], (2, 0, 1)).reshape(
+                kv.shape[3], 9),
+            "pw": sep.pointwise.kernel[...][0, 0].T,
+            "g": self.fuse.bn.scale[...],
+            "b": self.fuse.bn.bias[...],
+            "wc": self.classifier.kernel[...][0, 0].T,
+            "bc": self.classifier.bias[...],
+        }
+
+    def _call_fused_head_nw(self, low, up):
+        """low/up (N, H, W, C) NHWC (concat order low-then-up matches the
+        dw/pw channel order) -> batch-folded fused chain -> logits NHWC;
+        BN running stats updated with the module's own momentum."""
+        import jax
+
+        from .. import config
+        from ..ops.pallas.decoder import (fused_decoder_head_folded,
+                                          fused_decoder_head_folded_sharded)
+
+        p = self._head_params()
+        eps = float(self.fuse.bn.epsilon)
+        mesh = config.active_mesh()
+        if (mesh is not None and jax.device_count() > 1
+                and low.shape[0] % mesh.devices.size == 0):
+            logits, (m, v) = fused_decoder_head_folded_sharded(
+                low, up, p, mesh, eps, config.pallas_interpret_mode())
+        else:
+            logits, (m, v) = fused_decoder_head_folded(
+                low, up, p, eps, config.pallas_interpret_mode())
+        bn = self.fuse.bn
+        mom = bn.momentum
+        bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m
+        bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
+        return logits
 
     def _split_fuse_kind(self) -> str | None:
         """Can fuse(cat(low, up)) be computed as fuseA(low) + fuseB(up)?
@@ -149,6 +202,8 @@ class DeepLabHeadV3Plus(nnx.Module):
         low = self.project(features["low_level"])
         x = self.aspp(features["out"])
         x = resize_bilinear(x, low.shape[1:3])
+        if self._fused_head_nw_active(return_features):
+            return self._call_fused_head_nw(low, x)
         split_kind = (self._split_fuse_kind()
                       if config.split_decoder_concat_enabled() else None)
         if split_kind is not None and not self._fused_head_active(
