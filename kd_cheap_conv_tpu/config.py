@@ -133,6 +133,24 @@ def pallas_decoder_nw_enabled() -> bool:
     return False
 
 
+# Fused Xception middle flow (ops.pallas.xchain): the 16 residual blocks of
+# 3 sep-convs (C=728) in the batch-folded layout. Eval mode (config #3
+# teacher / TTA student) folds the running-stat BNs into the pointwise
+# weights and runs ONE kernel per block; train mode (config #3 student)
+# runs irchain-style BN-barrier passes with the analytic backward. Opt-in
+# (False) until measured on real hardware. Env: KDCC_PALLAS_XMID=0/1.
+use_pallas_xception_middle: bool | None = False
+
+
+def pallas_xmid_enabled() -> bool:
+    env = os.environ.get("KDCC_PALLAS_XMID")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_pallas_xception_middle is not None:
+        return use_pallas_xception_middle
+    return False
+
+
 # Pallas depthwise conv routing (ops.pallas.dwconv): replaces XLA's
 # feature-group depthwise lowering wherever groups == C, stride 1, odd k,
 # 'same' padding. Measured SLOWER standalone (0.25-0.87x of lax) but the

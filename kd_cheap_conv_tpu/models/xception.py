@@ -104,13 +104,81 @@ class Xception65(nnx.Module):
         self.low_level_channels = 128
         self.out_channels = 2048
 
+    def _fused_middle_mode(self) -> str | None:
+        """None (stock) | 'eval' | 'train' — structural guard for the fused
+        middle-flow chains (ops.pallas.xchain): dilation-1 middle blocks
+        (OS16/32), plain residuals, Xception sep structure intact."""
+        from .. import config
+
+        if not config.pallas_xmid_enabled():
+            return None
+        try:
+            for blk in self.middle:
+                if blk.skip_conv is not None:
+                    return None
+                for s in (blk.sep1, blk.sep2, blk.sep3):
+                    dw, pw = s.sep.depthwise, s.sep.pointwise
+                    c = dw.in_channels
+                    if (not s.pre_relu or s.post_relu
+                            or s.sep.bn_dw is None
+                            or dw.kernel_size != (3, 3)
+                            or dw.stride != (1, 1)
+                            or dw.dilation != (1, 1)
+                            or dw.groups != c
+                            or pw.kernel[...].shape != (1, 1, c, c)
+                            or dw.bias is not None or pw.bias is not None):
+                        return None
+            bn0 = self.middle[0].sep1.sep.bn_dw
+            return "eval" if bn0.use_running_average else "train"
+        except (AttributeError, IndexError, TypeError):
+            return None
+
+    def _call_fused_middle_train(self, x):
+        import jax
+
+        from .. import config
+        from ..ops.pallas.xchain import (fused_x_middle_train,
+                                         fused_x_middle_train_sharded,
+                                         middle_train_params)
+
+        p = middle_train_params(self.middle)
+        eps = float(self.middle[0].sep1.sep.bn_dw.epsilon)
+        nblk = len(self.middle)
+        mesh = config.active_mesh()
+        if (mesh is not None and jax.device_count() > 1
+                and x.shape[0] % mesh.devices.size == 0):
+            out, flat = fused_x_middle_train_sharded(
+                x, p, mesh, nblk, eps, config.pallas_interpret_mode())
+        else:
+            out, flat = fused_x_middle_train(
+                x, p, nblk, eps, config.pallas_interpret_mode())
+        it = iter(flat)
+        for blk in self.middle:
+            for s in (blk.sep1, blk.sep2, blk.sep3):
+                for bn in (s.sep.bn_dw, s.bn):
+                    m, v = next(it)
+                    mom = bn.momentum
+                    bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m
+                    bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
+        return out
+
     def __call__(self, x):
         x = self.conv2(self.conv1(x))
         x = self.block1(x)
         low_level = x
         x = self.block3(self.block2(x))
-        for b in self.middle:
-            x = b(x)
+        mode = self._fused_middle_mode()
+        if mode == "eval":
+            from .. import config
+            from ..ops.pallas.xchain import fused_x_middle_eval
+
+            x = fused_x_middle_eval(x, list(self.middle),
+                                    config.pallas_interpret_mode())
+        elif mode == "train":
+            x = self._call_fused_middle_train(x)
+        else:
+            for b in self.middle:
+                x = b(x)
         x = self.exit_block(x)
         x = self.exit_sep3(self.exit_sep2(self.exit_sep1(x)))
         return {"low_level": low_level, "out": x}

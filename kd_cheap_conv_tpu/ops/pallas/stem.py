@@ -132,6 +132,21 @@ def _mm(a, b, dt):
                    preferred_element_type=jnp.float32)
 
 
+def _act(u, relu):
+    """Activation selector: False = identity, True = relu6 (MobileNetV2),
+    'relu' = plain ReLU (Xception)."""
+    if relu == "relu":
+        return jnp.maximum(u, 0.0)
+    return jnp.clip(u, 0.0, 6.0) if relu else u
+
+
+def _act_grad(u, relu):
+    """d(_act)/du as an f32 0/1 mask (call only when relu is truthy)."""
+    if relu == "relu":
+        return (u > 0.0).astype(jnp.float32)
+    return ((u > 0.0) & (u < 6.0)).astype(jnp.float32)
+
+
 def _bn_apply(x, bn, relu, eps):
     """x (rows, C, W) f32; bn (C, 4) = [mean, var, gamma, beta] f32."""
     mu = bn[:, 0:1][None]
@@ -139,7 +154,7 @@ def _bn_apply(x, bn, relu, eps):
     g = bn[:, 2:3][None]
     b = bn[:, 3:4][None]
     u = (x - mu) * jax.lax.rsqrt(var + eps) * g + b
-    return jnp.clip(u, 0.0, 6.0) if relu else u
+    return _act(u, relu)
 
 
 def _rows_in(nrows, j, bh, first_global, H):
@@ -611,7 +626,7 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
 
     bnk = bnk_ref[...].astype(jnp.float32)
     u, xh = _bn_u_xh(ak, bnk, eps)
-    z = jnp.clip(u, 0.0, 6.0) if relu_k else u
+    z = _act(u, relu_k)
     z = jnp.where(m, z, 0.0)
     xh = jnp.where(m, xh, 0.0)
 
@@ -627,7 +642,7 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
         gz_rows.append(_mm(wt, ga[r], mdt))
     gz = jnp.stack(gz_rows, axis=0)                 # (bh, Ci, W)
     if relu_k:
-        gu = gz * ((u > 0.0) & (u < 6.0)).astype(jnp.float32)
+        gu = gz * _act_grad(u, relu_k)
     else:
         gu = gz
     gu = jnp.where(m, gu, 0.0)
@@ -637,7 +652,8 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
 
 
 def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
-              gyk_ref, sums_ref, dk_ref, *, bh, H, W, eps, wseg=None):
+              gyk_ref, sums_ref, dk_ref, *, bh, H, W, eps, wseg=None,
+              relu_k=True):
     """Backward over [bn_k(relu6) -> dw3x3 s1 -> a_next] given gy_next.
 
     gy/a_next halo blocks (1,bh+2,C,W) (transpose-conv needs g halos; the
@@ -647,24 +663,25 @@ def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
     """
     _dw_bwd_body(gy_ref[0], an_ref[0], ak_ref[0], pn_ref, bnk_ref, k_ref,
                  gyk_ref, sums_ref, dk_ref, bh=bh, H=H, Wreal=W, eps=eps,
-                 wseg=wseg)
+                 wseg=wseg, relu_k=relu_k)
 
 
 def _k_dw_bwd_dma(gy_hbm, an_hbm, ak_hbm, pn_ref, bnk_ref, k_ref,
                   gyk_ref, sums_ref, dk_ref, bufg, bufa, bufk,
-                  semg, sema, semk, *, bh, H, W, eps):
+                  semg, sema, semk, *, bh, H, W, eps, relu_k=True):
     j = pl.program_id(1)
     start = lambda jj: PAD + jj * bh - 1
     gy, an, ak = _halo_fetch([gy_hbm, an_hbm, ak_hbm], [start] * 3,
                              [bh + 2] * 3, [bufg, bufa, bufk],
                              [semg, sema, semk], j, pl.num_programs(1))
     _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
-                 gyk_ref, sums_ref, dk_ref, bh=bh, H=H, Wreal=W, eps=eps)
+                 gyk_ref, sums_ref, dk_ref, bh=bh, H=H, Wreal=W, eps=eps,
+                 relu_k=relu_k)
 
 
 def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
                  gyk_ref, sums_ref, dk_ref, *, bh, H, Wreal, eps,
-                 wseg=None):
+                 wseg=None, relu_k=True):
     i, j = pl.program_id(0), pl.program_id(1)
     gy = gy.astype(jnp.float32)                     # (bh+2, C, Wp)
     an = an.astype(jnp.float32)
@@ -680,7 +697,7 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
     bnk = bnk_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)              # (C, 9)
     u, xh = _bn_u_xh(ak, bnk, eps)
-    h = jnp.where(mh, jnp.clip(u, 0.0, 6.0), 0.0)
+    h = jnp.where(mh, _act(u, relu_k), 0.0)
     h = _mask_lanes(h, Wreal)  # dk taps roll pad-lane garbage into lane W-1
 
     # transpose conv: gh[h,w] = sum K[dh,dw] * ga[h-dh+1, w-dw+1]
@@ -717,7 +734,7 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
     m = _rows_in(bh, j, bh, 0, H)
     u_c = u[1:1 + bh]
     xh_c = jnp.where(m, xh[1:1 + bh], 0.0)
-    gu = gh * ((u_c > 0.0) & (u_c < 6.0)).astype(jnp.float32)
+    gu = gh * (_act_grad(u_c, relu_k) if relu_k else 1.0)
     # zero padded rows: gh taps reach real ga rows from beyond H, and the
     # garbage would pollute the per-channel sums; pad lanes: roll spill +
     # garbage relu mask
@@ -888,19 +905,20 @@ def _run_pw_bwd(gy, a_next, a_k, pn, bnk, w2, H, W, relu_k, eps, interpret,
 
 
 def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, W, eps, interpret, gdt,
-                wseg=None, bh=BH):
+                wseg=None, bh=BH, relu_k=True):
     """Stride-1 dw backward on padded arrays; W = real lane extent.
     Returns (gy_k padded, sums (C,2), dk (C,9))."""
     n, R, c, w = gy.shape
     nh = pl.cdiv(H, bh)
     if _dma_enabled():
-        kern = functools.partial(_k_dw_bwd_dma, bh=bh, H=H, W=W, eps=eps)
+        kern = functools.partial(_k_dw_bwd_dma, bh=bh, H=H, W=W, eps=eps,
+                                 relu_k=relu_k)
         halo_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
         buf = lambda: pltpu.VMEM((2, bh + 2, c, w), gy.dtype)
         scratch = [buf(), buf(), buf()] + [pltpu.SemaphoreType.DMA((2,))] * 3
     else:
         kern = functools.partial(_k_dw_bwd, bh=bh, H=H, W=W, eps=eps,
-                                 wseg=wseg)
+                                 wseg=wseg, relu_k=relu_k)
         halo_specs = [_halo(c, w, bh)] * 3
         scratch = []
     gyk, sums, dk = pl.pallas_call(

@@ -1,0 +1,414 @@
+"""Fused Xception-65 middle flow (16 residual blocks of 3 sep-convs, C=728)
+in the batch-folded channel-sublane layout (1, R, C, N·W).
+
+Why: config #3 (BASELINE.json:9) runs Xception-65 at 769² / OS16, where the
+middle flow lives at 49² — stock XLA lane-pads W=49 -> 128 (2.6x HBM bytes)
+and lowers the 48 depthwise convs through its slow feature-group path; the
+whole config measured 0.21 of its conv roofline. Folding the batch into
+lanes gives N·W = 4·49 = 196 -> 256 (1.3x pad) and C=728 is an exact
+sublane multiple.
+
+Two regimes:
+
+- EVAL (the config-#3 TEACHER, and student TTA inference, config #5): BN
+  uses running stats, so every BN is a per-channel affine that folds into
+  the pointwise weights/biases. A whole residual block (relu -> dw -> pw ->
+  affine, x3, + residual) then has NO cross-row barriers and runs as ONE
+  Pallas kernel per block — intermediates never touch HBM (6 tensors/block
+  in stock XLA -> 0). Forward-only: the teacher is under stop_gradient.
+
+- TRAIN (the config-#3 student backbone): every BN needs global batch
+  moments, so each sep conv runs as the irchain-style BN-barrier pass pair
+  (dw pass + pw pass via ops.pallas.stem runners, relu='relu' plain-ReLU
+  mode) with the analytic train-BN backward links in reverse; the residual
+  add + final BN is an XLA elementwise finish per block.
+
+Reference semantics: Xception middle flow (SURVEY.md §2.1; arXiv
+1802.02611). Numerics pinned against the stock NNX path by
+tests/test_pallas_xchain.py (values, grads, BN batch stats).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .irchain import _affine, _identity_bn_eps, _valid_mask
+from .stem import (_CP, PAD, _bn_pack, _bnbwd_identity, _bnbwd_pack,
+                   _dw_taps, _lanes, _mask_lanes, _mm, _rows_in, _run_bn_dw,
+                   _run_bn_pw, _run_dw_bwd, _run_pw_bwd)
+
+# Row-block heights. Eval holds one block's whole chain in VMEM (x halo +
+# ~4 f32 intermediates at C=728); train passes match the irchain defaults.
+BH_XE = int(os.environ.get("KDCC_XMID_BH_EVAL", "8"))
+BH_XT = int(os.environ.get("KDCC_XMID_BH", "8"))
+
+NCONV = 3          # sep convs per middle block
+
+
+def _geom(H, bh):
+    nh = pl.cdiv(H, bh)
+    return nh, PAD + (nh + 1) * bh
+
+
+def _fold(x, R):
+    """(N, H, W, C) -> (1, R, C, NWp) zero row/lane padding, PAD top rows."""
+    n, h, w, c = x.shape
+    nw = n * w
+    z = jnp.transpose(x, (1, 3, 0, 2)).reshape(h, c, nw)[None]
+    return jnp.pad(z, ((0, 0), (PAD, R - PAD - h), (0, 0),
+                       (0, _lanes(nw) - nw)))
+
+
+def _unfold(z, n, H, w):
+    c = z.shape[2]
+    v = z[0, PAD:PAD + H, :, :n * w]
+    return jnp.transpose(v.reshape(H, c, n, w), (2, 0, 3, 1))
+
+
+# ---------------------------------------------------------------------------
+# EVAL: one kernel per residual block, BN folded into pw weights/biases
+# ---------------------------------------------------------------------------
+
+
+def _k_block_eval(x_ref, k_ref, w_ref, b_ref, y_ref, *, bh, H, W, wseg):
+    """One middle block: (relu -> dw3x3 -> pw + bias) x3 + residual.
+
+    x halo (1, bh+6, C, W) at global rows j*bh-3 (PAD top rows cover the
+    first block). k (3, C, 9); w (3, C, C) BN-folded pw; b (3, C, 1) folded
+    biases. Each level masks rows (conv zero padding) and lanes (folded
+    biases are nonzero on pad lanes; the circular roll wraps lane 0 into
+    the last pad lane) before the taps.
+    """
+    j = pl.program_id(1)
+    h = x_ref[0].astype(jnp.float32)                  # (bh+6, C, W)
+    res = h[3:3 + bh]
+    for i in range(NCONV):
+        rows = h.shape[0]
+        h = jnp.maximum(h, 0.0)
+        h = jnp.where(_rows_in(rows, j, bh, i - 3, H), h, 0.0)
+        h = _mask_lanes(h, W)
+        t = _dw_taps(h, k_ref[i].astype(jnp.float32), rows - 2, h.shape[2],
+                     wseg=wseg)
+        w = w_ref[i]                                  # (C, C)
+        b = b_ref[i].astype(jnp.float32)              # (C, 1)
+        h = jnp.stack([_mm(w, t[r], y_ref.dtype) + b
+                       for r in range(rows - 2)], axis=0)
+    y_ref[0] = (h + res).astype(y_ref.dtype)
+
+
+def _fold_block_eval(block):
+    """(k (3,C,9), w (3,C,C), b (3,C,1)) with eval-BN affines folded in.
+
+    Per conv: out = bnP(pw(bnD(dw(h)))) = W''ᵀ dw(h) + b'' with
+    W'' = sP ⊙ W ⊙ sD and b'' = sP·(W @ tD) + tP where s = γ/σ, t = β-μs.
+    """
+    ks, ws, bs = [], [], []
+    for sep_bn in (block.sep1, block.sep2, block.sep3):
+        sep = sep_bn.sep
+        kv = sep.depthwise.kernel[...]
+        c = kv.shape[3]
+        k = jnp.transpose(kv[:, :, 0, :], (2, 0, 1)).reshape(c, 9)
+        w = sep.pointwise.kernel[...][0, 0].T.astype(jnp.float32)  # (Co, Ci)
+        bd, bp = sep.bn_dw, sep_bn.bn
+        sd = bd.scale[...] * jax.lax.rsqrt(bd.var[...] + bd.epsilon)
+        td = bd.bias[...] - bd.mean[...] * sd
+        sp = bp.scale[...] * jax.lax.rsqrt(bp.var[...] + bp.epsilon)
+        tp = bp.bias[...] - bp.mean[...] * sp
+        wf = sp[:, None] * w * sd[None, :]
+        bf = sp * (w @ td) + tp
+        ks.append(k)
+        ws.append(wf)
+        bs.append(bf[:, None])
+    return jnp.stack(ks), jnp.stack(ws), jnp.stack(bs)
+
+
+def fused_x_middle_eval(x_nhwc, blocks, interpret: bool = False,
+                        bh: int | None = None):
+    """Run the 16 middle blocks in eval mode (running-stat BN), one Pallas
+    kernel per block. blocks: iterable of XceptionBlock modules (their BN
+    affines are folded at trace time). Forward-only."""
+    bh = bh or BH_XE
+    n, H, w, c = x_nhwc.shape
+    nh, R = _geom(H, bh)
+    nw = n * w
+    W = _lanes(nw)
+    dt = x_nhwc.dtype
+    z = _fold(x_nhwc, R)
+    blk = pl.BlockSpec((1, bh, c, W),
+                       lambda i, j, off=PAD // bh: (i, j + off, 0, 0),
+                       memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 6), pl.Element(c), pl.Element(W)),
+        lambda i, j: (i, PAD + j * bh - 3, 0, 0),
+        memory_space=pltpu.VMEM)
+    const3 = lambda s: pl.BlockSpec((3,) + s, lambda i, j: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    for b in blocks:
+        k3, w3, b3 = _fold_block_eval(b)
+        z = pl.pallas_call(
+            functools.partial(_k_block_eval, bh=bh, H=H, W=nw, wseg=w),
+            out_shape=jax.ShapeDtypeStruct(z.shape, dt),
+            grid=(1, nh),
+            in_specs=[halo, const3((c, 9)), const3((c, c)), const3((c, 1))],
+            out_specs=blk,
+            interpret=interpret, compiler_params=_CP,
+        )(z, k3, w3.astype(dt), b3)
+        # pad rows/lanes of z are garbage after the folded biases; the next
+        # block's kernel masks both before its taps, the unfold slices them
+    return _unfold(z, n, H, w)
+
+
+# ---------------------------------------------------------------------------
+# TRAIN: BN-barrier pass pairs per sep conv + analytic backward links
+# ---------------------------------------------------------------------------
+
+
+def _xm_fwd(x0, p, nblk, H, wseg, NW, eps, interpret, axis=None, nsh=1):
+    """x0 (1, R, C, NWp) padded FINISHED middle-flow input. p: per block b,
+    conv i: k{b}_{i} (C,9), w{b}_{i} (C,C), gd/bd/gp/bp{b}_{i} (C,).
+    Returns (x_out, stats, acts)."""
+    dt = x0.dtype
+    c = x0.shape[2]
+    x = x0
+    stats, acts = [], []
+    for b in range(nblk):
+        a_entry = x
+        entry_bn = _identity_bn_eps(c, eps)
+        blk_acts, blk_stats = [x], []
+        for i in range(NCONV):
+            aD, mD, vD = _run_bn_dw(a_entry, entry_bn, p[f"k{b}_{i}"], H, NW,
+                                    "relu", eps, interpret, dt, axis, nsh,
+                                    wseg=wseg, bh=BH_XT)
+            aP, mP, vP = _run_bn_pw(aD, _bn_pack(mD, vD, p[f"gd{b}_{i}"],
+                                                 p[f"bd{b}_{i}"]),
+                                    p[f"w{b}_{i}"], H, NW, False, eps,
+                                    interpret, dt, axis, nsh, bh=BH_XT)
+            blk_acts += [aD, aP]
+            blk_stats += [(mD, vD), (mP, vP)]
+            a_entry = aP
+            entry_bn = _bn_pack(mP, vP, p[f"gp{b}_{i}"], p[f"bp{b}_{i}"])
+        i = NCONV - 1
+        xn = _affine(blk_acts[-1], blk_stats[-1][0], blk_stats[-1][1],
+                     p[f"gp{b}_{i}"], p[f"bp{b}_{i}"], eps)
+        x = (xn + x.astype(jnp.float32)).astype(dt)
+        stats.append(blk_stats)
+        acts.append(blk_acts)
+    return x, stats, acts
+
+
+def _xm_bwd(p, stats, acts, nblk, H, wseg, NW, g, eps, interpret,
+            axis=None, nsh=1):
+    g_psum = ((lambda v: jax.lax.psum(v, axis)) if axis is not None
+              else (lambda v: v))
+    dt = acts[0][0].dtype
+    c = acts[0][0].shape[2]
+    M = float(H * NW) * nsh
+    dp = {}
+    G = g
+    for b in reversed(range(nblk)):
+        blk_acts, blk_stats = acts[b], stats[b]
+        i = NCONV - 1
+        aP = blk_acts[2 * i + 2]
+        mP, vP = blk_stats[2 * i + 1]
+
+        # block finish backward (XLA): bnP3 train-BN backward on the masked
+        # global sums; the residual cotangent Gm also flows to x_in
+        Gm = jnp.where(_valid_mask(G.shape, H, NW), G.astype(jnp.float32),
+                       0.0)
+        invP = jax.lax.rsqrt(vP + eps)
+        xhP = jnp.where(
+            _valid_mask(aP.shape, H, NW),
+            (aP.astype(jnp.float32) - mP[None, None, :, None])
+            * invP[None, None, :, None], 0.0)
+        sg = g_psum(Gm.sum(axis=(0, 1, 3)))
+        sgx = g_psum((Gm * xhP).sum(axis=(0, 1, 3)))
+        gy = ((p[f"gp{b}_{i}"] * invP)[None, None, :, None]
+              * (Gm - (sg / M)[None, None, :, None]
+                 - xhP * (sgx / M)[None, None, :, None])).astype(dt)
+        dp[f"gp{b}_{i}"] = sgx
+        dp[f"bp{b}_{i}"] = sg
+        pn = _bnbwd_identity(c)
+
+        for i in reversed(range(NCONV)):
+            aD, aP = blk_acts[2 * i + 1], blk_acts[2 * i + 2]
+            (mD, vD), (mP, vP) = blk_stats[2 * i], blk_stats[2 * i + 1]
+            a_entry = blk_acts[2 * i]
+            # pw link: [bnD (no act) -> pw -> aP]
+            bnD = _bn_pack(mD, vD, p[f"gd{b}_{i}"], p[f"bd{b}_{i}"])
+            gyD, sD, dW = _run_pw_bwd(gy, aP, aD, pn, bnD, p[f"w{b}_{i}"],
+                                      H, NW, False, eps, interpret, dt,
+                                      bh=BH_XT)
+            sD = g_psum(sD)
+            dp[f"w{b}_{i}"] = dW
+            dp[f"gd{b}_{i}"] = sD[:, 1]
+            dp[f"bd{b}_{i}"] = sD[:, 0]
+            # dw link: [entry bn (+plain relu) -> dw3x3 -> aD]
+            pnD = _bnbwd_pack(mD, vD, p[f"gd{b}_{i}"], sD[:, 0], sD[:, 1], M)
+            if i == 0:
+                entry_bn = _identity_bn_eps(c, eps)
+            else:
+                mE, vE = blk_stats[2 * i - 1]
+                entry_bn = _bn_pack(mE, vE, p[f"gp{b}_{i - 1}"],
+                                    p[f"bp{b}_{i - 1}"])
+            gy, sE, dk = _run_dw_bwd(gyD, aD, a_entry, pnD, entry_bn,
+                                     p[f"k{b}_{i}"], H, NW, eps, interpret,
+                                     dt, wseg=wseg, bh=BH_XT, relu_k="relu")
+            sE = g_psum(sE)
+            dp[f"k{b}_{i}"] = dk
+            if i > 0:
+                dp[f"gp{b}_{i - 1}"] = sE[:, 1]
+                dp[f"bp{b}_{i - 1}"] = sE[:, 0]
+                pn = _bnbwd_pack(blk_stats[2 * i - 1][0],
+                                 blk_stats[2 * i - 1][1],
+                                 p[f"gp{b}_{i - 1}"], sE[:, 0], sE[:, 1], M)
+        # conv1's entry is the identity: gy is dL/dx via the conv path;
+        # add the residual cotangent
+        G = (gy.astype(jnp.float32) + Gm).astype(dt)
+
+    wk = [k for k in dp if k[0] in "wk"]
+    if axis is not None:
+        for k, v in zip(wk, jax.lax.psum(tuple(dp[k] for k in wk), axis)):
+            dp[k] = v
+    return G, {k: v.astype(p[k].dtype) for k, v in dp.items()}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_x_middle_train(x_nhwc, params, nblk: int, eps: float = 1e-5,
+                         interpret: bool = False):
+    """Xception middle flow, training mode (batch-moment BN).
+
+    x_nhwc (N, H, W, 728) finished block3 output. Returns (out NHWC,
+    stats: per block a tuple of 2*NCONV (mean, var) pairs ordered
+    (dwBN, pwBN) per conv)."""
+    n, H, w, c = x_nhwc.shape
+    nh, R = _geom(H, BH_XT)
+    x0 = _fold(x_nhwc, R)
+    out, stats, _ = _xm_fwd(x0, params, nblk, H, w, n * w, eps, interpret)
+    flat = tuple(mv for blk in stats for mv in blk)
+    return _unfold(out, n, H, w), flat
+
+
+def _xmt_fwd_rule(x_nhwc, params, nblk, eps, interpret):
+    n, H, w, c = x_nhwc.shape
+    nh, R = _geom(H, BH_XT)
+    x0 = _fold(x_nhwc, R)
+    out, stats, acts = _xm_fwd(x0, params, nblk, H, w, n * w, eps, interpret)
+    flat = tuple(mv for blk in stats for mv in blk)
+    y = (_unfold(out, n, H, w), flat)
+    return y, (params, stats, acts, x_nhwc.shape)
+
+
+def _xmt_bwd_rule(nblk, eps, interpret, res, cts):
+    p, stats, acts, x_shape = res
+    n, H, w, c = x_shape
+    nh, R = _geom(H, BH_XT)
+    g = _fold(cts[0], R)
+    gx, dp = _xm_bwd(p, stats, acts, nblk, H, w, n * w, g, eps, interpret)
+    return _unfold(gx, n, H, w), dp
+
+
+fused_x_middle_train.defvjp(_xmt_fwd_rule, _xmt_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# SPMD variant (train): shard_map over a 1-D data mesh, psum'd BN moments /
+# BN-backward totals / weight grads — sync-BN semantics
+# ---------------------------------------------------------------------------
+
+_sharded_xm_traces = 0
+
+
+def sharded_xm_trace_count() -> int:
+    return _sharded_xm_traces
+
+
+def _shmap(fn, mesh, in_specs, out_specs):
+    from jax import shard_map
+
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_vma=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_x_middle_train_sharded(x_nhwc, params, mesh, nblk: int,
+                                 eps: float = 1e-5,
+                                 interpret: bool = False):
+    (y, _) = _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret)
+    return y
+
+
+def _sh_specs(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    return axis, P(axis), P()
+
+
+def _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret):
+    global _sharded_xm_traces
+    _sharded_xm_traces += 1
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+
+    def local(x, p):
+        n, H, w, c = x.shape
+        nh, R = _geom(H, BH_XT)
+        x0 = _fold(x, R)
+        out, stats, acts = _xm_fwd(x0, p, nblk, H, w, n * w, eps, interpret,
+                                   axis, nsh)
+        flat = tuple(mv for blk in stats for mv in blk)
+        return _unfold(out, n, H, w), flat, stats, acts
+
+    out, flat, stats, acts = _shmap(local, mesh, (Pd, Pr),
+                                    (Pd, Pr, Pr, Pd))(x_nhwc, params)
+    return ((out, flat), (params, stats, acts, x_nhwc.shape))
+
+
+def _sh_xmt_fwd_rule(x_nhwc, params, mesh, nblk, eps, interpret):
+    return _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret)
+
+
+def _sh_xmt_bwd_rule(mesh, nblk, eps, interpret, res, cts):
+    p, stats, acts, x_shape = res
+    _, H, w, c = x_shape
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+
+    def local(p, stats, acts, g):
+        n_loc = g.shape[0]
+        nh, R = _geom(H, BH_XT)
+        gf = _fold(g, R)
+        gx, dp = _xm_bwd(p, stats, acts, nblk, H, w, n_loc * w, gf, eps,
+                         interpret, axis, nsh)
+        return _unfold(gx, n_loc, H, w), dp
+
+    dx, dp = _shmap(local, mesh, (Pr, Pr, Pd, Pd), (Pd, Pr))(
+        p, stats, acts, cts[0])
+    return dx, dp
+
+
+fused_x_middle_train_sharded.defvjp(_sh_xmt_fwd_rule, _sh_xmt_bwd_rule)
+
+
+def middle_train_params(blocks):
+    """Extract the train-chain param dict from the middle-block modules."""
+    p = {}
+    for b, blk in enumerate(blocks):
+        for i, sep_bn in enumerate((blk.sep1, blk.sep2, blk.sep3)):
+            sep = sep_bn.sep
+            kv = sep.depthwise.kernel[...]
+            c = kv.shape[3]
+            p[f"k{b}_{i}"] = jnp.transpose(kv[:, :, 0, :],
+                                           (2, 0, 1)).reshape(c, 9)
+            p[f"w{b}_{i}"] = sep.pointwise.kernel[...][0, 0].T
+            p[f"gd{b}_{i}"] = sep.bn_dw.scale[...]
+            p[f"bd{b}_{i}"] = sep.bn_dw.bias[...]
+            p[f"gp{b}_{i}"] = sep_bn.bn.scale[...]
+            p[f"bp{b}_{i}"] = sep_bn.bn.bias[...]
+    return p

@@ -1,0 +1,209 @@
+"""Fused Xception middle flow (ops.pallas.xchain) vs stock paths, interpret
+mode on CPU: eval-mode folded-BN block kernel, train-mode BN-barrier chain
+(values, grads, batch stats), sharded variant, and module integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from kd_cheap_conv_tpu.models.xception import XceptionBlock
+from kd_cheap_conv_tpu.ops.conv import conv2d, depthwise_conv2d
+from kd_cheap_conv_tpu.ops.pallas.xchain import (
+    fused_x_middle_eval, fused_x_middle_train, middle_train_params)
+
+RNG = np.random.RandomState(5)
+EPS = 1e-5
+C = 16
+
+
+def _blocks(n):
+    blocks = [XceptionBlock(C, (C, C, C), dilation=1, rngs=nnx.Rngs(i))
+              for i in range(n)]
+    # randomize params so nothing is at its init symmetry
+    for blk in blocks:
+        for s in (blk.sep1, blk.sep2, blk.sep3):
+            s.sep.depthwise.kernel[...] = jnp.asarray(
+                RNG.randn(3, 3, 1, C).astype(np.float32) * 0.4)
+            s.sep.pointwise.kernel[...] = jnp.asarray(
+                RNG.randn(1, 1, C, C).astype(np.float32) * 0.3)
+            for bn in (s.sep.bn_dw, s.bn):
+                bn.scale[...] = jnp.asarray(
+                    (1 + 0.2 * RNG.randn(C)).astype(np.float32))
+                bn.bias[...] = jnp.asarray(
+                    0.2 * RNG.randn(C).astype(np.float32))
+                bn.mean[...] = jnp.asarray(
+                    0.3 * RNG.randn(C).astype(np.float32))
+                bn.var[...] = jnp.asarray(
+                    (1 + 0.5 * RNG.rand(C)).astype(np.float32))
+    return blocks
+
+
+def test_xmid_eval_matches_stock():
+    blocks = _blocks(2)
+    for b in blocks:
+        b.eval()
+    x = jnp.asarray(RNG.randn(2, 9, 11, C), jnp.float32)
+    got = fused_x_middle_eval(x, blocks, interpret=True)
+    want = x
+    for b in blocks:
+        want = b(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def _ref_train(x, p, nblk):
+    """Pure-jnp middle flow in train mode from the params dict."""
+    stats = []
+    for b in range(nblk):
+        h = x
+        for i in range(3):
+            h = jnp.maximum(h, 0.0)
+            kv = p[f"k{b}_{i}"].reshape(C, 3, 3).transpose(1, 2, 0)[:, :, None]
+            aD = depthwise_conv2d(h, kv, padding=1)
+            for tag, a in (("d", aD),):
+                mu = a.mean(axis=(0, 1, 2))
+                var = (a * a).mean(axis=(0, 1, 2)) - mu * mu
+                h = ((a - mu) * jax.lax.rsqrt(var + EPS)
+                     * p[f"g{tag}{b}_{i}"] + p[f"b{tag}{b}_{i}"])
+                stats.append((mu, var))
+            aP = conv2d(h, p[f"w{b}_{i}"].T[None, None])
+            mu = aP.mean(axis=(0, 1, 2))
+            var = (aP * aP).mean(axis=(0, 1, 2)) - mu * mu
+            h = ((aP - mu) * jax.lax.rsqrt(var + EPS)
+                 * p[f"gp{b}_{i}"] + p[f"bp{b}_{i}"])
+            stats.append((mu, var))
+        x = h + x
+    return x, stats
+
+
+def test_xmid_train_forward_and_stats():
+    blocks = _blocks(2)
+    p = middle_train_params(blocks)
+    x = jnp.asarray(RNG.randn(2, 9, 11, C), jnp.float32)
+    got, flat = fused_x_middle_train(x, p, 2, EPS, True)
+    want, wstats = _ref_train(x, p, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    assert len(flat) == len(wstats) == 12
+    for k, ((m, v), (wm, wv)) in enumerate(zip(flat, wstats)):
+        np.testing.assert_allclose(np.asarray(m), np.asarray(wm),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"mean{k}")
+        np.testing.assert_allclose(np.asarray(v), np.asarray(wv),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"var{k}")
+
+
+def test_xmid_train_grads():
+    blocks = _blocks(2)
+    p = middle_train_params(blocks)
+    x = jnp.asarray(RNG.randn(2, 9, 11, C), jnp.float32)
+    w = jnp.asarray(RNG.randn(2, 9, 11, C), jnp.float32)
+
+    def f_fused(x, p):
+        out, _ = fused_x_middle_train(x, p, 2, EPS, True)
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    def f_ref(x, p):
+        out, _ = _ref_train(x, p, 2)
+        return jnp.sum(out * w)
+
+    np.testing.assert_allclose(float(f_fused(x, p)), float(f_ref(x, p)),
+                               rtol=1e-4)
+    g1 = jax.grad(f_fused, argnums=(0, 1))(x, p)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=2e-3, atol=2e-4, err_msg="dx")
+    for key in sorted(p):
+        np.testing.assert_allclose(np.asarray(g1[1][key]),
+                                   np.asarray(g2[1][key]),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d {key}")
+
+
+def test_xmid_train_sharded_matches_unsharded():
+    from jax.sharding import Mesh
+
+    from kd_cheap_conv_tpu.ops.pallas.xchain import (
+        fused_x_middle_train_sharded, sharded_xm_trace_count)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    blocks = _blocks(1)
+    p = middle_train_params(blocks)
+    x = jnp.asarray(RNG.randn(8, 7, 9, C), jnp.float32)
+    w = jnp.asarray(RNG.randn(8, 7, 9, C), jnp.float32)
+
+    def f_sh(x, p):
+        out, _ = fused_x_middle_train_sharded(x, p, mesh, 1, EPS, True)
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    def f1(x, p):
+        out, _ = fused_x_middle_train(x, p, 1, EPS, True)
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    t0 = sharded_xm_trace_count()
+    # f32 psum reassociation across shards compounds over the 3-conv chain
+    np.testing.assert_allclose(float(f_sh(x, p)), float(f1(x, p)), rtol=1e-4)
+    assert sharded_xm_trace_count() > t0
+    gs = jax.grad(f_sh, argnums=(0, 1))(x, p)
+    g1 = jax.grad(f1, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(g1[0]),
+                               rtol=5e-4, atol=5e-5)
+    for key in sorted(p):
+        np.testing.assert_allclose(np.asarray(gs[1][key]),
+                                   np.asarray(g1[1][key]),
+                                   rtol=5e-4, atol=5e-5, err_msg=f"d {key}")
+
+
+def test_xmid_module_integration():
+    """Xception65 (middle trimmed to 2 blocks) with the fused middle chain
+    force-enabled vs stock: train-mode values/grads/BN stats and eval-mode
+    forward."""
+    from kd_cheap_conv_tpu import config
+    from kd_cheap_conv_tpu.models.xception import Xception65
+
+    def build():
+        m = Xception65(output_stride=16, rngs=nnx.Rngs(0))
+        m.middle = nnx.List([m.middle[0], m.middle[1]])
+        return m
+
+    x = jnp.asarray(np.random.RandomState(42).randn(2, 65, 65, 3),
+                    jnp.float32)
+
+    def loss(model, x):
+        return jnp.sum(model(x)["out"].astype(jnp.float32) ** 2) * 1e-6
+
+    ref, fused = build(), build()
+    old = config.use_pallas_xception_middle
+    try:
+        config.use_pallas_xception_middle = False
+        assert ref._fused_middle_mode() is None
+        v_ref, g_ref = nnx.value_and_grad(loss)(ref, x)
+        config.use_pallas_xception_middle = True
+        assert fused._fused_middle_mode() == "train"
+        v_fused, g_fused = nnx.value_and_grad(loss)(fused, x)
+
+        np.testing.assert_allclose(float(v_fused), float(v_ref), rtol=1e-4)
+        flat_r, flat_f = jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)
+        assert len(flat_r) == len(flat_f)
+        for a, b in zip(flat_f, flat_r):
+            a, b = np.asarray(a), np.asarray(b)
+            bad = np.abs(a - b) > 1e-2 + 1e-2 * np.abs(b)
+            assert bad.mean() <= 5e-3, f"{bad.sum()}/{bad.size} grads off"
+        for blk_f, blk_r in zip(fused.middle, ref.middle):
+            for get in (lambda s: s.sep.bn_dw, lambda s: s.bn):
+                for sf, sr in ((blk_f.sep1, blk_r.sep1),
+                               (blk_f.sep2, blk_r.sep2),
+                               (blk_f.sep3, blk_r.sep3)):
+                    np.testing.assert_allclose(
+                        np.asarray(get(sf).mean[...]),
+                        np.asarray(get(sr).mean[...]), rtol=1e-4, atol=1e-5)
+
+        # eval mode: folded-BN kernel
+        ref.eval()
+        fused.eval()
+        assert fused._fused_middle_mode() == "eval"
+        out_f = fused(x)["out"]
+        out_r = ref(x)["out"]
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=2e-4, atol=2e-4)
+    finally:
+        config.use_pallas_xception_middle = old
