@@ -236,16 +236,16 @@ def _halo_fetch(refs, starts, rows, bufs, sems, j, nh):
     return out
 
 
-def _dw_taps(h, k, bh, W, flip=False, wseg=None):
-    """Stride-1 3x3 depthwise on bn'd halo rows h (bh+2, C, W) with
-    per-channel kernel k (C, 9). flip=True uses the spatially flipped
-    kernel (transpose conv) via static tap reindexing — Mosaic has no
-    `rev` lowering. Returns (bh, C, W) f32.
+def _dw_taps(h, k, bh, W, flip=False, wseg=None, dil=1):
+    """Stride-1 3x3 depthwise (dilation `dil`, pad=dil) on bn'd halo rows
+    h (bh + 2*dil, C, W) with per-channel kernel k (C, 9). flip=True uses
+    the spatially flipped kernel (transpose conv) via static tap
+    reindexing — Mosaic has no `rev` lowering. Returns (bh, C, W) f32.
 
     wseg: per-image lane-segment width for the batch-folded (NW-on-lanes)
     layout — the conv zero-pad boundary is then at every multiple of wseg
-    (the circular roll leaks image i-1's edge column into image i's w=0
-    position, which is exactly the masked position)."""
+    (the circular roll leaks image i-1's edge columns into image i's first
+    `dil` positions, which are exactly the masked positions)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
     if wseg is not None:
         lane = lane % wseg
@@ -254,19 +254,19 @@ def _dw_taps(h, k, bh, W, flip=False, wseg=None):
         edge = W
     acc = jnp.zeros((bh, h.shape[1], W), jnp.float32)
     for dh in range(3):
-        rows = h[dh:dh + bh]
+        rows = h[dh * dil:dh * dil + bh]
         for dw in range(3):
             if dw == 1:
                 sh = rows
             else:
-                # dw=0: tap x[w-1] -> roll right by 1; dw=2: left by 1
+                # dw=0: tap x[w-dil] -> roll right by dil; dw=2: left
                 # (pltpu.roll is circular and needs a non-negative shift)
-                shift = 1 if dw == 0 else W - 1
+                shift = dil if dw == 0 else W - dil
                 sh = pltpu.roll(rows, shift, axis=2)
                 if dw == 0:
-                    sh = jnp.where(lane >= 1, sh, 0.0)
+                    sh = jnp.where(lane >= dil, sh, 0.0)
                 else:
-                    sh = jnp.where(lane < edge - 1, sh, 0.0)
+                    sh = jnp.where(lane < edge - dil, sh, 0.0)
             t = 8 - (dh * 3 + dw) if flip else dh * 3 + dw
             acc = acc + sh * k[:, t:t + 1][None]
     return acc
@@ -277,13 +277,13 @@ def _dw_taps(h, k, bh, W, flip=False, wseg=None):
 # ---------------------------------------------------------------------------
 
 def _bn_dw_body(x, bn_ref, k_ref, y_ref, s_ref, j, *, bh, H, W, relu, eps,
-                wseg=None):
+                wseg=None, dil=1):
     x = x.astype(jnp.float32)
     h = _bn_apply(x, bn_ref[...].astype(jnp.float32), relu, eps)
-    h = _mask_rows(h, j, bh, -1, H)              # conv zero-pad + garbage
+    h = _mask_rows(h, j, bh, -dil, H)            # conv zero-pad + garbage
     h = _mask_lanes(h, W)                        # pad lanes: bn beta garbage
     y = _dw_taps(h, k_ref[...].astype(jnp.float32), bh, x.shape[2],
-                 wseg=wseg)
+                 wseg=wseg, dil=dil)
     y = _mask_lanes(y, W)                        # roll spill into pad lanes
     y_ref[0] = y.astype(y_ref.dtype)
     m = _rows_in(bh, j, bh, 0, H)
@@ -291,22 +291,22 @@ def _bn_dw_body(x, bn_ref, k_ref, y_ref, s_ref, j, *, bh, H, W, relu, eps,
 
 
 def _k_bn_dw(x_ref, bn_ref, k_ref, y_ref, s_ref, *, bh, H, W, relu, eps,
-             wseg=None):
-    """bn(+relu6) -> depthwise 3x3 s1 -> y + next-BN moments.
-    x block (1, bh+2, C, Wp) halo rows starting at global j*bh-1."""
+             wseg=None, dil=1):
+    """bn(+act) -> depthwise 3x3 s1 (dilation dil) -> y + next-BN moments.
+    x block (1, bh+2*dil, C, Wp) halo rows starting at global j*bh-dil."""
     j = pl.program_id(1)
     _bn_dw_body(x_ref[0], bn_ref, k_ref, y_ref, s_ref, j,
-                bh=bh, H=H, W=W, relu=relu, eps=eps, wseg=wseg)
+                bh=bh, H=H, W=W, relu=relu, eps=eps, wseg=wseg, dil=dil)
 
 
 def _k_bn_dw_dma(x_hbm, bn_ref, k_ref, y_ref, s_ref, buf, sem, *,
-                 bh, H, W, relu, eps, wseg=None):
+                 bh, H, W, relu, eps, wseg=None, dil=1):
     """_k_bn_dw with the halo window fetched by double-buffered DMA."""
     j = pl.program_id(1)
-    (x,) = _halo_fetch([x_hbm], [lambda jj: PAD + jj * bh - 1], [bh + 2],
-                       [buf], [sem], j, pl.num_programs(1))
+    (x,) = _halo_fetch([x_hbm], [lambda jj: PAD + jj * bh - dil],
+                       [bh + 2 * dil], [buf], [sem], j, pl.num_programs(1))
     _bn_dw_body(x, bn_ref, k_ref, y_ref, s_ref, j,
-                bh=bh, H=H, W=W, relu=relu, eps=eps, wseg=wseg)
+                bh=bh, H=H, W=W, relu=relu, eps=eps, wseg=wseg, dil=dil)
 
 
 def _k_bn_pw(x_ref, bn_ref, w_ref, y_ref, s_ref, *, bh, H, W, relu, eps):
@@ -426,11 +426,12 @@ def _blk(c, w, bh=BH):
                         memory_space=pltpu.VMEM)
 
 
-def _halo(c, w, bh=BH):
-    """Element (1, bh+2, c, w) halo spec starting at global row j*bh-1."""
+def _halo(c, w, bh=BH, dil=1):
+    """Element (1, bh+2*dil, c, w) halo spec starting at row j*bh-dil."""
     return pl.BlockSpec(
-        (pl.Element(1), pl.Element(bh + 2), pl.Element(c), pl.Element(w)),
-        lambda i, j: (i, PAD + j * bh - 1, 0, 0),
+        (pl.Element(1), pl.Element(bh + 2 * dil), pl.Element(c),
+         pl.Element(w)),
+        lambda i, j: (i, PAD + j * bh - dil, 0, 0),
         memory_space=pltpu.VMEM)
 
 
@@ -446,21 +447,21 @@ def _stats_out(c):
 
 
 def _run_bn_dw(x, bn, k, H, W, relu, eps, interpret, out_dtype,
-               axis=None, nsh=1, wseg=None, bh=BH):
+               axis=None, nsh=1, wseg=None, bh=BH, dil=1):
     """x (N,R,C,Wp) padded pre-BN; W = real lane extent; returns
     (y padded, mean, var of y)."""
     n, R, c, w = x.shape
     nh = pl.cdiv(H, bh)
     if _dma_enabled():
         kern = functools.partial(_k_bn_dw_dma, bh=bh, H=H, W=W, relu=relu,
-                                 eps=eps, wseg=wseg)
+                                 eps=eps, wseg=wseg, dil=dil)
         x_spec = pl.BlockSpec(memory_space=pl.ANY)
-        scratch = [pltpu.VMEM((2, bh + 2, c, w), x.dtype),
+        scratch = [pltpu.VMEM((2, bh + 2 * dil, c, w), x.dtype),
                    pltpu.SemaphoreType.DMA((2,))]
     else:
         kern = functools.partial(_k_bn_dw, bh=bh, H=H, W=W, relu=relu,
-                                 eps=eps, wseg=wseg)
-        x_spec = _halo(c, w, bh)
+                                 eps=eps, wseg=wseg, dil=dil)
+        x_spec = _halo(c, w, bh, dil)
         scratch = []
     y, sums = pl.pallas_call(
         kern,
@@ -653,7 +654,7 @@ def _k_pw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, wt_ref,
 
 def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
               gyk_ref, sums_ref, dk_ref, *, bh, H, W, eps, wseg=None,
-              relu_k=True):
+              relu_k=True, dil=1):
     """Backward over [bn_k(relu6) -> dw3x3 s1 -> a_next] given gy_next.
 
     gy/a_next halo blocks (1,bh+2,C,W) (transpose-conv needs g halos; the
@@ -663,33 +664,33 @@ def _k_dw_bwd(gy_ref, an_ref, ak_ref, pn_ref, bnk_ref, k_ref,
     """
     _dw_bwd_body(gy_ref[0], an_ref[0], ak_ref[0], pn_ref, bnk_ref, k_ref,
                  gyk_ref, sums_ref, dk_ref, bh=bh, H=H, Wreal=W, eps=eps,
-                 wseg=wseg, relu_k=relu_k)
+                 wseg=wseg, relu_k=relu_k, dil=dil)
 
 
 def _k_dw_bwd_dma(gy_hbm, an_hbm, ak_hbm, pn_ref, bnk_ref, k_ref,
                   gyk_ref, sums_ref, dk_ref, bufg, bufa, bufk,
-                  semg, sema, semk, *, bh, H, W, eps, relu_k=True):
+                  semg, sema, semk, *, bh, H, W, eps, relu_k=True, dil=1):
     j = pl.program_id(1)
-    start = lambda jj: PAD + jj * bh - 1
+    start = lambda jj: PAD + jj * bh - dil
     gy, an, ak = _halo_fetch([gy_hbm, an_hbm, ak_hbm], [start] * 3,
-                             [bh + 2] * 3, [bufg, bufa, bufk],
+                             [bh + 2 * dil] * 3, [bufg, bufa, bufk],
                              [semg, sema, semk], j, pl.num_programs(1))
     _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
                  gyk_ref, sums_ref, dk_ref, bh=bh, H=H, Wreal=W, eps=eps,
-                 relu_k=relu_k)
+                 relu_k=relu_k, dil=dil)
 
 
 def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
                  gyk_ref, sums_ref, dk_ref, *, bh, H, Wreal, eps,
-                 wseg=None, relu_k=True):
+                 wseg=None, relu_k=True, dil=1):
     i, j = pl.program_id(0), pl.program_id(1)
-    gy = gy.astype(jnp.float32)                     # (bh+2, C, Wp)
+    gy = gy.astype(jnp.float32)                     # (bh+2*dil, C, Wp)
     an = an.astype(jnp.float32)
     ak = ak.astype(jnp.float32)
     C, W = gy.shape[1], gy.shape[2]                 # W = PADDED lane extent
     pn = pn_ref[...].astype(jnp.float32)
-    mh = _rows_in(bh + 2, j, bh, -1, H)
-    ga = _bn_bwd_apply(gy, an, pn, eps)             # (bh+2, C, Wp)
+    mh = _rows_in(bh + 2 * dil, j, bh, -dil, H)
+    ga = _bn_bwd_apply(gy, an, pn, eps)             # (bh+2*dil, C, Wp)
     ga = jnp.where(mh, ga, 0.0)
     ga = _mask_lanes(ga, Wreal)  # BN-backward constants at pad lanes; the
     #                              dk sums and gh tap rolls both touch lanes
@@ -700,12 +701,12 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
     h = jnp.where(mh, _act(u, relu_k), 0.0)
     h = _mask_lanes(h, Wreal)  # dk taps roll pad-lane garbage into lane W-1
 
-    # transpose conv: gh[h,w] = sum K[dh,dw] * ga[h-dh+1, w-dw+1]
+    # transpose conv: gh[h,w] = sum K[dh,dw] * ga[h-(dh-1)d, w-(dw-1)d]
     # == dw-conv of ga with the spatially flipped kernel
-    gh = _dw_taps(ga, k, bh, W, flip=True, wseg=wseg)    # (bh, C, W)
+    gh = _dw_taps(ga, k, bh, W, flip=True, wseg=wseg, dil=dil)  # (bh, C, W)
 
     # weight grad: dk[c, t] = sum taps(h)[t] * ga_center
-    ga_c = ga[1:1 + bh]
+    ga_c = ga[dil:dil + bh]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
     if wseg is not None:
         lane = lane % wseg
@@ -714,17 +715,17 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
         edge = W
     cols = []
     for dh in range(3):
-        rows = h[dh:dh + bh]
+        rows = h[dh * dil:dh * dil + bh]
         for dw in range(3):
             if dw == 1:
                 sh = rows
             else:
-                shift = 1 if dw == 0 else W - 1
+                shift = dil if dw == 0 else W - dil
                 sh = pltpu.roll(rows, shift, axis=2)
                 if dw == 0:
-                    sh = jnp.where(lane >= 1, sh, 0.0)
+                    sh = jnp.where(lane >= dil, sh, 0.0)
                 else:
-                    sh = jnp.where(lane < edge - 1, sh, 0.0)
+                    sh = jnp.where(lane < edge - dil, sh, 0.0)
             cols.append(jnp.sum(sh * ga_c, axis=(0, 2)))  # (C,)
     col = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
     dk_tile = jnp.zeros((C, 128), jnp.float32)
@@ -732,8 +733,8 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
         dk_tile += jnp.where(col == t, cols[t][:, None], 0.0)
 
     m = _rows_in(bh, j, bh, 0, H)
-    u_c = u[1:1 + bh]
-    xh_c = jnp.where(m, xh[1:1 + bh], 0.0)
+    u_c = u[dil:dil + bh]
+    xh_c = jnp.where(m, xh[dil:dil + bh], 0.0)
     gu = gh * (_act_grad(u_c, relu_k) if relu_k else 1.0)
     # zero padded rows: gh taps reach real ga rows from beyond H, and the
     # garbage would pollute the per-channel sums; pad lanes: roll spill +
@@ -905,21 +906,21 @@ def _run_pw_bwd(gy, a_next, a_k, pn, bnk, w2, H, W, relu_k, eps, interpret,
 
 
 def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, W, eps, interpret, gdt,
-                wseg=None, bh=BH, relu_k=True):
+                wseg=None, bh=BH, relu_k=True, dil=1):
     """Stride-1 dw backward on padded arrays; W = real lane extent.
     Returns (gy_k padded, sums (C,2), dk (C,9))."""
     n, R, c, w = gy.shape
     nh = pl.cdiv(H, bh)
     if _dma_enabled():
         kern = functools.partial(_k_dw_bwd_dma, bh=bh, H=H, W=W, eps=eps,
-                                 relu_k=relu_k)
+                                 relu_k=relu_k, dil=dil)
         halo_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
-        buf = lambda: pltpu.VMEM((2, bh + 2, c, w), gy.dtype)
+        buf = lambda: pltpu.VMEM((2, bh + 2 * dil, c, w), gy.dtype)
         scratch = [buf(), buf(), buf()] + [pltpu.SemaphoreType.DMA((2,))] * 3
     else:
         kern = functools.partial(_k_dw_bwd, bh=bh, H=H, W=W, eps=eps,
-                                 wseg=wseg, relu_k=relu_k)
-        halo_specs = [_halo(c, w, bh)] * 3
+                                 wseg=wseg, relu_k=relu_k, dil=dil)
+        halo_specs = [_halo(c, w, bh, dil)] * 3
         scratch = []
     gyk, sums, dk = pl.pallas_call(
         kern,
