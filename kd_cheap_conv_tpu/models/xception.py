@@ -162,14 +162,90 @@ class Xception65(nnx.Module):
                     bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
         return out
 
+    def _fused_tail_mode(self) -> str | None:
+        """Structural guard for the fused exit flow: reference channel plan
+        (_TAIL_A/_TAIL_B), uniform dilation, stride-1 everywhere (OS16/8),
+        1x1 skip, Xception relu placement."""
+        from .. import config
+        from ..ops.pallas.xchain import _TAIL_A, _TAIL_B
+
+        if not config.pallas_xmid_enabled():
+            return None
+        try:
+            eb, seps = self.exit_block, (self.exit_sep1, self.exit_sep2,
+                                         self.exit_sep3)
+            if eb.skip_conv is None or eb.skip_conv.stride != (1, 1):
+                return None
+            d = eb.sep1.sep.depthwise.dilation[0]
+            if d < 2:          # OS32: exit runs stride-2 — fall back
+                return None
+            plan = list(zip(_TAIL_A, (eb.sep1, eb.sep2, eb.sep3),
+                            (True, False), (False,) * 3))
+            plan += list(zip(_TAIL_B, seps, (False,) * 3, (True,) * 3))
+            for (ci, co, act), s, pre, post in [
+                    (sp, m, m.pre_relu, m.post_relu)
+                    for (sp, m, _, _) in plan]:
+                dw, pw = s.sep.depthwise, s.sep.pointwise
+                if (s.sep.bn_dw is None
+                        or dw.kernel_size != (3, 3) or dw.stride != (1, 1)
+                        or dw.dilation != (d, d) or dw.groups != ci
+                        or pw.kernel[...].shape != (1, 1, ci, co)
+                        or dw.bias is not None or pw.bias is not None):
+                    return None
+            if not (eb.sep1.pre_relu and eb.sep2.pre_relu and eb.sep3.pre_relu
+                    and not any(s.post_relu for s in (eb.sep1, eb.sep2,
+                                                      eb.sep3))
+                    and all(not s.pre_relu and s.post_relu for s in seps)):
+                return None
+            bn0 = eb.sep1.sep.bn_dw
+            return "eval" if bn0.use_running_average else "train"
+        except (AttributeError, IndexError, TypeError):
+            return None
+
+    def _call_fused_tail_train(self, x):
+        import jax
+
+        from .. import config
+        from ..ops.pallas.xchain import (fused_x_tail_train,
+                                         fused_x_tail_train_sharded,
+                                         tail_train_params)
+
+        eb = self.exit_block
+        seps = (self.exit_sep1, self.exit_sep2, self.exit_sep3)
+        p = tail_train_params(eb, seps)
+        d = int(eb.sep1.sep.depthwise.dilation[0])
+        eps = float(eb.sep1.sep.bn_dw.epsilon)
+        mesh = config.active_mesh()
+        if (mesh is not None and jax.device_count() > 1
+                and x.shape[0] % mesh.devices.size == 0):
+            out, flat = fused_x_tail_train_sharded(
+                x, p, mesh, d, eps, config.pallas_interpret_mode())
+        else:
+            out, flat = fused_x_tail_train(
+                x, p, d, eps, config.pallas_interpret_mode())
+        it = iter(flat)
+        bns = []
+        for s in (eb.sep1, eb.sep2, eb.sep3):
+            bns += [s.sep.bn_dw, s.bn]
+        bns.append(eb.skip_bn)
+        for s in seps:
+            bns += [s.sep.bn_dw, s.bn]
+        for bn in bns:
+            m, v = next(it)
+            mom = bn.momentum
+            bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m
+            bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
+        return out
+
     def __call__(self, x):
+        from .. import config
+
         x = self.conv2(self.conv1(x))
         x = self.block1(x)
         low_level = x
         x = self.block3(self.block2(x))
         mode = self._fused_middle_mode()
         if mode == "eval":
-            from .. import config
             from ..ops.pallas.xchain import fused_x_middle_eval
 
             x = fused_x_middle_eval(x, list(self.middle),
@@ -179,8 +255,20 @@ class Xception65(nnx.Module):
         else:
             for b in self.middle:
                 x = b(x)
-        x = self.exit_block(x)
-        x = self.exit_sep3(self.exit_sep2(self.exit_sep1(x)))
+        tmode = self._fused_tail_mode()
+        if tmode == "eval":
+            from ..ops.pallas.xchain import fused_x_tail_eval
+
+            x = fused_x_tail_eval(
+                x, self.exit_block,
+                (self.exit_sep1, self.exit_sep2, self.exit_sep3),
+                int(self.exit_block.sep1.sep.depthwise.dilation[0]),
+                config.pallas_interpret_mode())
+        elif tmode == "train":
+            x = self._call_fused_tail_train(x)
+        else:
+            x = self.exit_block(x)
+            x = self.exit_sep3(self.exit_sep2(self.exit_sep1(x)))
         return {"low_level": low_level, "out": x}
 
 

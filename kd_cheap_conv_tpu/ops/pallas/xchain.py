@@ -412,3 +412,420 @@ def middle_train_params(blocks):
             p[f"gp{b}_{i}"] = sep_bn.bn.scale[...]
             p[f"bp{b}_{i}"] = sep_bn.bn.bias[...]
     return p
+
+
+# ---------------------------------------------------------------------------
+# Exit flow ("tail"): exit_block (3 sep convs 728->1024 + 1x1 skip) then the
+# three exit sep convs (1024->1536->1536->2048, post-relu). All dilation 2
+# at OS16. Same machinery as the middle flow plus: dilated taps, channel
+# changes, an XLA skip-conv branch with its own train-BN, and a relu finish.
+# ---------------------------------------------------------------------------
+
+# (cin, cout, entry act) per conv; dil comes from the model (2 at OS16)
+_TAIL_A = ((728, 728, "relu"), (728, 1024, "relu"), (1024, 1024, "relu"))
+_TAIL_B = ((1024, 1536, False), (1536, 1536, "relu"), (1536, 2048, "relu"))
+
+
+def _seg_fwd(x, p, pre, specs, dil, H, wseg, NW, eps, interpret, axis, nsh):
+    """Run a segment of sep convs (dw pass + pw pass per conv) with BN
+    barriers. x is a FINISHED folded tensor; conv j's entry applies
+    (identity if j==0 else bnP_{j-1}) + the spec'd activation."""
+    dt = x.dtype
+    a_entry = x
+    entry_bn = _identity_bn_eps(specs[0][0], eps)
+    acts, stats = [x], []
+    for j, (cin, cout, act) in enumerate(specs):
+        aD, mD, vD = _run_bn_dw(a_entry, entry_bn, p[f"k{pre}{j}"], H, NW,
+                                act, eps, interpret, dt, axis, nsh,
+                                wseg=wseg, bh=BH_XT, dil=dil)
+        aP, mP, vP = _run_bn_pw(aD, _bn_pack(mD, vD, p[f"gd{pre}{j}"],
+                                             p[f"bd{pre}{j}"]),
+                                p[f"w{pre}{j}"], H, NW, False, eps,
+                                interpret, dt, axis, nsh, bh=BH_XT)
+        acts += [aD, aP]
+        stats += [(mD, vD), (mP, vP)]
+        a_entry = aP
+        entry_bn = _bn_pack(mP, vP, p[f"gp{pre}{j}"], p[f"bp{pre}{j}"])
+    return acts, stats
+
+
+def _seg_bwd(gy, pn, p, pre, specs, dil, acts, stats, H, wseg, NW, M, eps,
+             interpret, dp, g_psum):
+    """Backward through a _seg_fwd segment. gy = dL/d(u) of the NEXT BN
+    (pre-act) with pn its backward pack — identity if the caller already
+    applied the last pw BN's backward. Returns dL/d(segment input)."""
+    dt = acts[0].dtype
+    for j in reversed(range(len(specs))):
+        cin, cout, act = specs[j]
+        aD, aP = acts[2 * j + 1], acts[2 * j + 2]
+        (mD, vD), (mP, vP) = stats[2 * j], stats[2 * j + 1]
+        bnD = _bn_pack(mD, vD, p[f"gd{pre}{j}"], p[f"bd{pre}{j}"])
+        gyD, sD, dW = _run_pw_bwd(gy, aP, aD, pn, bnD, p[f"w{pre}{j}"],
+                                  H, NW, False, eps, interpret, dt, bh=BH_XT)
+        sD = g_psum(sD)
+        dp[f"w{pre}{j}"] = dW
+        dp[f"gd{pre}{j}"] = sD[:, 1]
+        dp[f"bd{pre}{j}"] = sD[:, 0]
+        pnD = _bnbwd_pack(mD, vD, p[f"gd{pre}{j}"], sD[:, 0], sD[:, 1], M)
+        if j == 0:
+            entry_bn = _identity_bn_eps(cin, eps)
+        else:
+            mE, vE = stats[2 * j - 1]
+            entry_bn = _bn_pack(mE, vE, p[f"gp{pre}{j - 1}"],
+                                p[f"bp{pre}{j - 1}"])
+        gy, sE, dk = _run_dw_bwd(gyD, aD, acts[2 * j], pnD, entry_bn,
+                                 p[f"k{pre}{j}"], H, NW, eps, interpret, dt,
+                                 wseg=wseg, bh=BH_XT, relu_k=act, dil=dil)
+        sE = g_psum(sE)
+        dp[f"k{pre}{j}"] = dk
+        if j > 0:
+            dp[f"gp{pre}{j - 1}"] = sE[:, 1]
+            dp[f"bp{pre}{j - 1}"] = sE[:, 0]
+            pn = _bnbwd_pack(stats[2 * j - 1][0], stats[2 * j - 1][1],
+                             p[f"gp{pre}{j - 1}"], sE[:, 0], sE[:, 1], M)
+    return gy
+
+
+def _bn_fin_fwd(a, m, v, g, b, eps):
+    return _affine(a, m, v, g, b, eps)
+
+
+def _masked_moments(a, H, NW, M, g_psum):
+    af = jnp.where(_valid_mask(a.shape, H, NW), a.astype(jnp.float32), 0.0)
+    s = g_psum(af.sum(axis=(0, 1, 3)))
+    s2 = g_psum((af * af).sum(axis=(0, 1, 3)))
+    mu = s / M
+    return mu, s2 / M - mu * mu
+
+
+def _bn_fin_bwd(G, a, m, v, g, H, NW, M, eps, g_psum):
+    """Train-BN backward of an XLA 'finish' BN: returns (ga, dgamma, dbeta).
+    G must already be valid-masked."""
+    inv = jax.lax.rsqrt(v + eps)
+    xh = jnp.where(_valid_mask(a.shape, H, NW),
+                   (a.astype(jnp.float32) - m[None, None, :, None])
+                   * inv[None, None, :, None], 0.0)
+    sg = g_psum(G.sum(axis=(0, 1, 3)))
+    sgx = g_psum((G * xh).sum(axis=(0, 1, 3)))
+    ga = ((g * inv)[None, None, :, None]
+          * (G - (sg / M)[None, None, :, None]
+             - xh * (sgx / M)[None, None, :, None]))
+    return ga, sgx, sg
+
+
+def _tail_fwd(x0, p, dil, H, wseg, NW, eps, interpret, axis=None, nsh=1,
+              specs=None):
+    """x0 (1,R,728,NWp) folded FINISHED middle-flow output. Returns
+    (out folded (2048), stats, acts, skip residuals)."""
+    specA, specB = specs or (_TAIL_A, _TAIL_B)
+    dt = x0.dtype
+    M = float(H * NW) * nsh
+    g_psum = ((lambda u: jax.lax.psum(u, axis)) if axis is not None
+              else (lambda u: u))
+    actsA, statsA = _seg_fwd(x0, p, "eb", specA, dil, H, wseg, NW, eps,
+                             interpret, axis, nsh)
+    # skip branch (XLA): 1x1 conv over C + train BN
+    xf = x0.astype(jnp.float32)
+    s = jnp.einsum("oc,nrcl->nrol", p["wsk"].astype(jnp.float32), xf)
+    msk, vsk = _masked_moments(s, H, NW, M, g_psum)
+    xb = (_affine(actsA[-1], statsA[-1][0], statsA[-1][1], p["gpeb2"],
+                  p["bpeb2"], eps)
+          + _affine(s, msk, vsk, p["gsk"], p["bsk"], eps)).astype(dt)
+    actsB, statsB = _seg_fwd(xb, p, "es", specB, dil, H, wseg, NW, eps,
+                             interpret, axis, nsh)
+    uB = _affine(actsB[-1], statsB[-1][0], statsB[-1][1], p["gpes2"],
+                 p["bpes2"], eps)
+    out = jnp.maximum(uB, 0.0).astype(dt)
+    return out, (statsA, (msk, vsk), statsB), (actsA, s, actsB)
+
+
+def _tail_bwd(p, dil, stats, acts, H, wseg, NW, g, eps, interpret,
+              axis=None, nsh=1, specs=None):
+    specA, specB = specs or (_TAIL_A, _TAIL_B)
+    g_psum = ((lambda u: jax.lax.psum(u, axis)) if axis is not None
+              else (lambda u: u))
+    statsA, (msk, vsk), statsB = stats
+    actsA, s, actsB = acts
+    dt = actsA[0].dtype
+    M = float(H * NW) * nsh
+    dp = {}
+
+    # finish B backward: relu mask + bnP_es2 backward
+    uB = _affine(actsB[-1], statsB[-1][0], statsB[-1][1], p["gpes2"],
+                 p["bpes2"], eps)
+    Gm = jnp.where(_valid_mask(g.shape, H, NW), g.astype(jnp.float32), 0.0)
+    Gm = Gm * (uB > 0.0)
+    gaB, sgx, sg = _bn_fin_bwd(Gm, actsB[-1], statsB[-1][0], statsB[-1][1],
+                               p["gpes2"], H, NW, M, eps, g_psum)
+    dp["gpes2"] = g_psum(sgx)
+    dp["bpes2"] = g_psum(sg)
+    g_xb = _seg_bwd(gaB.astype(dt), _bnbwd_identity(specB[-1][1]), p,
+                    "es", specB, dil, actsB, statsB, H, wseg, NW, M, eps,
+                    interpret, dp, g_psum)
+
+    # finish A backward: main branch bnP_eb2 + skip branch bn_skip
+    Ga = jnp.where(_valid_mask(g_xb.shape, H, NW),
+                   g_xb.astype(jnp.float32), 0.0)
+    gaA, sgx, sg = _bn_fin_bwd(Ga, actsA[-1], statsA[-1][0], statsA[-1][1],
+                               p["gpeb2"], H, NW, M, eps, g_psum)
+    dp["gpeb2"] = g_psum(sgx)
+    dp["bpeb2"] = g_psum(sg)
+    gs, sgxs, sgs = _bn_fin_bwd(Ga, s, msk, vsk, p["gsk"], H, NW, M, eps,
+                                g_psum)
+    dp["gsk"] = g_psum(sgxs)
+    dp["bsk"] = g_psum(sgs)
+    xf = actsA[0].astype(jnp.float32)
+    xv = jnp.where(_valid_mask(xf.shape, H, NW), xf, 0.0)
+    dp["wsk"] = g_psum(jnp.einsum("nrol,nrcl->oc", gs, xv))
+    gx_skip = jnp.einsum("oc,nrol->nrcl", p["wsk"].astype(jnp.float32), gs)
+
+    gxA = _seg_bwd(gaA.astype(dt), _bnbwd_identity(specA[-1][1]), p,
+                   "eb", specA, dil, actsA, statsA, H, wseg, NW, M, eps,
+                   interpret, dp, g_psum)
+    gx = (gxA.astype(jnp.float32) + gx_skip).astype(dt)
+
+    wk = [k for k in dp if k[0] in "wk"]
+    if axis is not None:
+        for k, v in zip(wk, jax.lax.psum(tuple(dp[k] for k in wk), axis)):
+            dp[k] = v
+    return gx, {k: v.astype(p[k].dtype) for k, v in dp.items()}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_x_tail_train(x_nhwc, params, dil: int = 2, eps: float = 1e-5,
+                       interpret: bool = False, specs=None):
+    """Xception exit flow (exit_block + 3 exit seps), training mode.
+    x_nhwc (N, H, W, 728) finished middle-flow output. Returns (out NHWC
+    (2048), stats: (segA 6 pairs, skip pair, segB 6 pairs) flattened).
+    specs: ((cin,cout,act)x3, (cin,cout,act)x3) override (tests)."""
+    n, H, w, c = x_nhwc.shape
+    nh, R = _geom(H, BH_XT)
+    out, stats, acts = _tail_fwd(_fold(x_nhwc, R), params, dil, H, w,
+                                 n * w, eps, interpret, specs=specs)
+    statsA, sk, statsB = stats
+    flat = tuple(statsA) + (sk,) + tuple(statsB)
+    return _unfold(out, n, H, w), flat
+
+
+def _xt_fwd_rule(x_nhwc, params, dil, eps, interpret, specs=None):
+    n, H, w, c = x_nhwc.shape
+    nh, R = _geom(H, BH_XT)
+    out, stats, acts = _tail_fwd(_fold(x_nhwc, R), params, dil, H, w,
+                                 n * w, eps, interpret, specs=specs)
+    statsA, sk, statsB = stats
+    flat = tuple(statsA) + (sk,) + tuple(statsB)
+    return (_unfold(out, n, H, w), flat), (params, stats, acts,
+                                           x_nhwc.shape)
+
+
+def _xt_bwd_rule(dil, eps, interpret, specs, res, cts):
+    p, stats, acts, x_shape = res
+    n, H, w, c = x_shape
+    nh, R = _geom(H, BH_XT)
+    g = _fold(cts[0], R)
+    gx, dp = _tail_bwd(p, dil, stats, acts, H, w, n * w, g, eps, interpret,
+                       specs=specs)
+    return _unfold(gx, n, H, w), dp
+
+
+fused_x_tail_train.defvjp(_xt_fwd_rule, _xt_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_x_tail_train_sharded(x_nhwc, params, mesh, dil: int = 2,
+                               eps: float = 1e-5, interpret: bool = False):
+    (y, _) = _sh_xt_fwd(x_nhwc, params, mesh, dil, eps, interpret)
+    return y
+
+
+def _sh_xt_fwd(x_nhwc, params, mesh, dil, eps, interpret):
+    global _sharded_xm_traces
+    _sharded_xm_traces += 1
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+
+    def local(x, p):
+        n, H, w, c = x.shape
+        nh, R = _geom(H, BH_XT)
+        out, stats, acts = _tail_fwd(_fold(x, R), p, dil, H, w, n * w, eps,
+                                     interpret, axis, nsh)
+        statsA, sk, statsB = stats
+        flat = tuple(statsA) + (sk,) + tuple(statsB)
+        return _unfold(out, n, H, w), flat, stats, acts
+
+    out, flat, stats, acts = _shmap(local, mesh, (Pd, Pr),
+                                    (Pd, Pr, Pr, Pd))(x_nhwc, params)
+    return ((out, flat), (params, stats, acts, x_nhwc.shape))
+
+
+def _sh_xt_fwd_rule(x_nhwc, params, mesh, dil, eps, interpret):
+    return _sh_xt_fwd(x_nhwc, params, mesh, dil, eps, interpret)
+
+
+def _sh_xt_bwd_rule(mesh, dil, eps, interpret, res, cts):
+    p, stats, acts, x_shape = res
+    _, H, w, c = x_shape
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+
+    def local(p, stats, acts, g):
+        n_loc = g.shape[0]
+        nh, R = _geom(H, BH_XT)
+        gf = _fold(g, R)
+        gx, dp = _tail_bwd(p, dil, stats, acts, H, w, n_loc * w, gf, eps,
+                           interpret, axis, nsh)
+        return _unfold(gx, n_loc, H, w), dp
+
+    dx, dp = _shmap(local, mesh, (Pr, Pr, Pd, Pd), (Pd, Pr))(
+        p, stats, acts, cts[0])
+    return dx, dp
+
+
+fused_x_tail_train_sharded.defvjp(_sh_xt_fwd_rule, _sh_xt_bwd_rule)
+
+
+def tail_train_params(exit_block, exit_seps):
+    """Extract the tail param dict from the exit modules."""
+    p = {}
+    for pre, seps in (("eb", (exit_block.sep1, exit_block.sep2,
+                              exit_block.sep3)),
+                      ("es", tuple(exit_seps))):
+        for j, s in enumerate(seps):
+            sep = s.sep
+            kv = sep.depthwise.kernel[...]
+            c = kv.shape[3]
+            p[f"k{pre}{j}"] = jnp.transpose(kv[:, :, 0, :],
+                                            (2, 0, 1)).reshape(c, 9)
+            p[f"w{pre}{j}"] = sep.pointwise.kernel[...][0, 0].T
+            p[f"gd{pre}{j}"] = sep.bn_dw.scale[...]
+            p[f"bd{pre}{j}"] = sep.bn_dw.bias[...]
+            p[f"gp{pre}{j}"] = s.bn.scale[...]
+            p[f"bp{pre}{j}"] = s.bn.bias[...]
+    p["wsk"] = exit_block.skip_conv.kernel[...][0, 0].T
+    p["gsk"] = exit_block.skip_bn.scale[...]
+    p["bsk"] = exit_block.skip_bn.bias[...]
+    return p
+
+
+# ---------------------------------------------------------------------------
+# EVAL tail: one kernel per segment, BN folded into pw weights/biases,
+# dilation-2 taps, in-kernel 1x1 skip branch and final relu
+# ---------------------------------------------------------------------------
+
+BH_XE_TAIL = int(os.environ.get("KDCC_XMID_BH_EVAL_TAIL", "4"))
+
+
+def _k_seg_eval(x_ref, *refs, bh, H, W, wseg, dil, acts, skip, final_relu):
+    """A 3-conv eval segment: (entry act -> dw3x3(dil) -> pw + bias) x3
+    [+ skip 1x1 on the raw input] [+ final relu].
+
+    refs: k0,w0,b0,k1,w1,b1,k2,w2,b2 [, wsk, bsk], then y_ref last.
+    x halo (1, bh + 6*dil, C0, Wp) at global rows j*bh - 3*dil."""
+    y_ref = refs[-1]
+    consts = refs[:-1]
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)
+    if skip:
+        x_c = x[3 * dil:3 * dil + bh]
+        x_c = jnp.where(_rows_in(bh, j, bh, 0, H), x_c, 0.0)
+        x_c = _mask_lanes(x_c, W)
+    h = x
+    for i in range(3):
+        k, w, b = consts[3 * i], consts[3 * i + 1], consts[3 * i + 2]
+        rows = h.shape[0]
+        if acts[i]:
+            h = jnp.maximum(h, 0.0)
+        h = jnp.where(_rows_in(rows, j, bh, (i - 3) * dil, H), h, 0.0)
+        h = _mask_lanes(h, W)
+        t = _dw_taps(h, k[...].astype(jnp.float32), rows - 2 * dil,
+                     h.shape[2], wseg=wseg, dil=dil)
+        bf = b[...].astype(jnp.float32)
+        h = jnp.stack([_mm(w[...], t[r], y_ref.dtype) + bf
+                       for r in range(rows - 2 * dil)], axis=0)
+    if skip:
+        wsk, bsk = consts[9], consts[10]
+        bskf = bsk[...].astype(jnp.float32)
+        h = h + jnp.stack([_mm(wsk[...], x_c[r], y_ref.dtype) + bskf
+                           for r in range(bh)], axis=0)
+    if final_relu:
+        h = jnp.maximum(h, 0.0)
+    y_ref[0] = h.astype(y_ref.dtype)
+
+
+def _fold_sep_eval(sep_bn):
+    """Folded (k, w'', b'') for one SepConvBN in eval mode."""
+    sep = sep_bn.sep
+    kv = sep.depthwise.kernel[...]
+    c = kv.shape[3]
+    k = jnp.transpose(kv[:, :, 0, :], (2, 0, 1)).reshape(c, 9)
+    w = sep.pointwise.kernel[...][0, 0].T.astype(jnp.float32)
+    bd, bp = sep.bn_dw, sep_bn.bn
+    sd = bd.scale[...] * jax.lax.rsqrt(bd.var[...] + bd.epsilon)
+    td = bd.bias[...] - bd.mean[...] * sd
+    sp = bp.scale[...] * jax.lax.rsqrt(bp.var[...] + bp.epsilon)
+    tp = bp.bias[...] - bp.mean[...] * sp
+    return k, sp[:, None] * w * sd[None, :], (sp * (w @ td) + tp)[:, None]
+
+
+def _run_seg_eval(z, seps, dil, acts, skip_wb, final_relu, H, nw, wseg, dt,
+                  interpret, bh):
+    """One eval segment on the folded tensor z. seps: 3 SepConvBN modules;
+    skip_wb: (wsk_folded, bsk_folded) or None."""
+    nh = pl.cdiv(H, bh)
+    W = z.shape[3]
+    cout = seps[2].sep.pointwise.kernel[...].shape[3]
+    consts, specs = [], []
+    for s in seps:
+        k, wf, bf = _fold_sep_eval(s)
+        for arr in (k, wf.astype(dt), bf):
+            consts.append(arr)
+            specs.append(pl.BlockSpec(arr.shape,
+                                      lambda i, j, nd=arr.ndim: (0,) * nd,
+                                      memory_space=pltpu.VMEM))
+    if skip_wb is not None:
+        for arr in skip_wb:
+            consts.append(arr)
+            specs.append(pl.BlockSpec(arr.shape,
+                                      lambda i, j, nd=arr.ndim: (0,) * nd,
+                                      memory_space=pltpu.VMEM))
+    halo = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 6 * dil), pl.Element(z.shape[2]),
+         pl.Element(W)),
+        lambda i, j: (i, PAD + j * bh - 3 * dil, 0, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_k_seg_eval, bh=bh, H=H, W=nw, wseg=wseg, dil=dil,
+                          acts=acts, skip=skip_wb is not None,
+                          final_relu=final_relu),
+        out_shape=jax.ShapeDtypeStruct(
+            (1, z.shape[1], cout, W), dt),
+        grid=(1, nh),
+        in_specs=[halo] + specs,
+        out_specs=pl.BlockSpec((1, bh, cout, W),
+                               lambda i, j, off=PAD // bh: (i, j + off, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret, compiler_params=_CP,
+    )(z, *consts)
+    return out
+
+
+def fused_x_tail_eval(x_nhwc, exit_block, exit_seps, dil: int = 2,
+                      interpret: bool = False, bh: int | None = None):
+    """Exit flow in eval mode: two kernels (exit_block with in-kernel skip,
+    then the three post-relu exit seps). Forward-only."""
+    bh = bh or BH_XE_TAIL
+    n, H, w, c = x_nhwc.shape
+    nh, R = _geom(H, bh)
+    dt = x_nhwc.dtype
+    z = _fold(x_nhwc, R)
+    sk = exit_block.skip_bn
+    ssk = sk.scale[...] * jax.lax.rsqrt(sk.var[...] + sk.epsilon)
+    tsk = sk.bias[...] - sk.mean[...] * ssk
+    wsk = exit_block.skip_conv.kernel[...][0, 0].T.astype(jnp.float32)
+    skip_wb = ((ssk[:, None] * wsk).astype(dt), tsk[:, None])
+    z = _run_seg_eval(z, (exit_block.sep1, exit_block.sep2,
+                          exit_block.sep3), dil, (True, True, True),
+                      skip_wb, False, H, n * w, w, dt, interpret, bh)
+    z = _run_seg_eval(z, tuple(exit_seps), dil, (False, True, True),
+                      None, True, H, n * w, w, dt, interpret, bh)
+    return _unfold(z, n, H, w)

@@ -207,3 +207,89 @@ def test_xmid_module_integration():
                                    rtol=2e-4, atol=2e-4)
     finally:
         config.use_pallas_xception_middle = old
+
+
+# ---------------------------------------------------------------------------
+# exit flow ("tail")
+# ---------------------------------------------------------------------------
+
+from kd_cheap_conv_tpu.ops.pallas.xchain import fused_x_tail_train  # noqa: E402
+
+# tail at channels/8 so CPU-interpret stays fast
+_TA = ((91, 91, "relu"), (91, 128, "relu"), (128, 128, "relu"))
+_TB = ((128, 192, False), (192, 192, "relu"), (192, 256, "relu"))
+
+
+def _tail_params():
+    p = {}
+    for pre, specs in (("eb", _TA), ("es", _TB)):
+        for j, (ci, co, act) in enumerate(specs):
+            p[f"k{pre}{j}"] = jnp.asarray(
+                RNG.randn(ci, 9).astype(np.float32) * 0.3)
+            p[f"w{pre}{j}"] = jnp.asarray(
+                RNG.randn(co, ci).astype(np.float32) * 0.2)
+            for t, c in (("gd", ci), ("bd", ci), ("gp", co), ("bp", co)):
+                v = (1 + 0.2 * RNG.randn(c) if t[0] == "g"
+                     else 0.2 * RNG.randn(c))
+                p[f"{t}{pre}{j}"] = jnp.asarray(v.astype(np.float32))
+    p["wsk"] = jnp.asarray(
+        RNG.randn(_TA[2][1], _TA[0][0]).astype(np.float32) * 0.2)
+    p["gsk"] = jnp.asarray(
+        (1 + 0.2 * RNG.randn(_TA[2][1])).astype(np.float32))
+    p["bsk"] = jnp.asarray(0.2 * RNG.randn(_TA[2][1]).astype(np.float32))
+    return p
+
+
+def _ref_tail(x, p, dil=2):
+    """Pure-jnp exit flow in train mode from the params dict."""
+    def bn_train(a, g, b):
+        mu = a.mean(axis=(0, 1, 2))
+        var = (a * a).mean(axis=(0, 1, 2)) - mu * mu
+        return (a - mu) * jax.lax.rsqrt(var + EPS) * g + b
+
+    def seg(h, pre, specs):
+        for j, (cin, cout, act) in enumerate(specs):
+            if act == "relu":
+                h = jnp.maximum(h, 0.0)
+            kv = p[f"k{pre}{j}"].reshape(cin, 3, 3).transpose(
+                1, 2, 0)[:, :, None]
+            aD = depthwise_conv2d(h, kv, padding=dil, dilation=dil)
+            h = bn_train(aD, p[f"gd{pre}{j}"], p[f"bd{pre}{j}"])
+            aP = conv2d(h, p[f"w{pre}{j}"].T[None, None])
+            h = bn_train(aP, p[f"gp{pre}{j}"], p[f"bp{pre}{j}"])
+        return h
+
+    xb = seg(x, "eb", _TA)
+    sk = bn_train(conv2d(x, p["wsk"].T[None, None]), p["gsk"], p["bsk"])
+    out = seg(xb + sk, "es", _TB)
+    return jnp.maximum(out, 0.0)
+
+
+def test_xtail_train_forward_and_grads():
+    p = _tail_params()
+    x = jnp.asarray(RNG.randn(2, 11, 9, _TA[0][0]), jnp.float32)
+    got, flat = fused_x_tail_train(x, p, 2, EPS, True, (_TA, _TB))
+    want = _ref_tail(x, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    assert len(flat) == 13          # 6 + skip + 6 (mean, var) pairs
+
+    w = jnp.asarray(RNG.randn(*want.shape), jnp.float32)
+
+    def f_fused(x, p):
+        out, _ = fused_x_tail_train(x, p, 2, EPS, True, (_TA, _TB))
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    def f_ref(x, p):
+        return jnp.sum(_ref_tail(x, p) * w)
+
+    np.testing.assert_allclose(float(f_fused(x, p)), float(f_ref(x, p)),
+                               rtol=1e-4)
+    g1 = jax.grad(f_fused, argnums=(0, 1))(x, p)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=2e-3, atol=2e-4, err_msg="dx")
+    for key in sorted(p):
+        np.testing.assert_allclose(np.asarray(g1[1][key]),
+                                   np.asarray(g2[1][key]),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d {key}")
