@@ -206,6 +206,23 @@ def pallas_ir_enabled() -> bool:
         return False
 
 
+# ResNet 7x7-s2 stem as a space-to-depth 4x4-s1 conv (exact rewrite):
+# XLA's C_in=3 7x7 conv lowering measured 1.54ms vs a 0.2ms memory bound at
+# b16/513² (round-3 teacher segment profile); S2D(2) turns it into a
+# contraction-192 conv the MXU can tile. Opt-in until measured.
+# Env: KDCC_S2D_STEM=0/1.
+use_s2d_stem: bool | None = False
+
+
+def s2d_stem_enabled() -> bool:
+    env = os.environ.get("KDCC_S2D_STEM")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_s2d_stem is not None:
+        return use_s2d_stem
+    return False
+
+
 # Decoder concat-split: compute fuse(cat(low, up)) as fuseA(low) + fuseB(up)
 # (channel-split of the fuse kernel — exact algebra for dense AND separable
 # fuse convs), so the 304-channel concat tensor and its pad/copy glue never

@@ -93,6 +93,47 @@ class ResNet(nnx.Module):
                                     dtype=dtype, rngs=rngs))
         return nnx.List(layer)
 
+    def _stem_s2d_active(self) -> bool:
+        from .. import config
+
+        if not config.s2d_stem_enabled():
+            return False
+        c = self.stem.conv
+        return (c.kernel_size == (7, 7) and c.stride == (2, 2)
+                and c.padding == (3, 3) and c.dilation == (1, 1)
+                and c.bias is None)
+
+    def _stem_s2d(self, x):
+        """Exact space-to-depth rewrite of the 7x7/s2 stem conv: pad to the
+        stride grid, fold 2x2 patches into channels (C=12), and run a 4x4
+        VALID conv whose kernel is the 7x7 kernel scattered over the
+        (patch-offset, tap) decomposition dh = 2a + ph. Same math, but the
+        contraction is 4*4*12=192 wide instead of 7*3=21-per-row, so XLA
+        tiles it onto the MXU instead of its small-channel path. BN+relu
+        stay on the module (identical train/eval semantics)."""
+        import jax.lax as lax
+        import jax.numpy as jnp
+
+        conv = self.stem.conv
+        w = conv.kernel[...]                          # (7, 7, 3, 64) HWIO
+        if conv.dtype is not None:
+            x = x.astype(conv.dtype)
+            w = w.astype(conv.dtype)
+        n, H, W, ci = x.shape
+        ho, wo = (H + 1) // 2, (W + 1) // 2
+        rp, cp = 2 * ho + 6, 2 * wo + 6               # even padded extents
+        xp = jnp.pad(x, ((0, 0), (3, rp - H - 3), (3, cp - W - 3), (0, 0)))
+        s2d = xp.reshape(n, rp // 2, 2, cp // 2, 2, ci)
+        s2d = jnp.transpose(s2d, (0, 1, 3, 2, 4, 5)).reshape(
+            n, rp // 2, cp // 2, 4 * ci)
+        w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))   # 7->8 taps
+        w2 = jnp.transpose(w8.reshape(4, 2, 4, 2, ci, -1),
+                           (0, 2, 1, 3, 4, 5)).reshape(4, 4, 4 * ci, -1)
+        y = lax.conv_general_dilated(
+            s2d, w2, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return nnx.relu(self.stem.bn(y))
+
     def _maxpool(self, x):
         # torch MaxPool2d(kernel_size=3, stride=2, padding=1).
         # init must be the literal -inf for JAX to recognize the max monoid
@@ -105,7 +146,7 @@ class ResNet(nnx.Module):
         )
 
     def __call__(self, x):
-        x = self.stem(x)
+        x = self._stem_s2d(x) if self._stem_s2d_active() else self.stem(x)
         x = self._maxpool(x)
         for b in self.layer1:
             x = b(x)

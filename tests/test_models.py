@@ -217,3 +217,39 @@ def test_split_decoder_grad_parity():
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         denom = np.linalg.norm(a) + 1e-300
         assert np.linalg.norm(a - b) / denom < 1e-12
+
+
+def test_resnet_s2d_stem_parity():
+    """KDCC_S2D_STEM: the space-to-depth 4x4 rewrite of the 7x7/s2 stem is
+    numerically the stock stem (values and grads), odd and even inputs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from kd_cheap_conv_tpu import config
+    from kd_cheap_conv_tpu.models.resnet import resnet50
+
+    m = resnet50(output_stride=16, rngs=nnx.Rngs(0))
+    assert not m._stem_s2d_active()
+    old = config.use_s2d_stem
+    try:
+        config.use_s2d_stem = True
+        assert m._stem_s2d_active()
+        for hw in (33, 32):
+            x = jnp.asarray(np.random.RandomState(hw).randn(2, hw, hw, 3),
+                            jnp.float32)
+            want = m.stem(x)
+            got = m._stem_s2d(x)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4)
+        x = jnp.asarray(np.random.RandomState(7).randn(1, 17, 17, 3),
+                        jnp.float32)
+        m.eval()   # running-stat BN: no BatchStat mutation under jax.grad
+        g1 = jax.grad(lambda x: jnp.sum(m._stem_s2d(x) ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(m.stem(x) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-3, atol=1e-4)
+    finally:
+        config.use_s2d_stem = old
