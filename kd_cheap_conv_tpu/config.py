@@ -206,6 +206,22 @@ def pallas_ir_enabled() -> bool:
         return False
 
 
+# Fused eval-mode ResNet bottlenecks (ops.pallas.rchain): the config-#2
+# teacher's layer1/layer2 stride-1 blocks as one folded-BN kernel per
+# block (only block input/output touch HBM). Opt-in until measured.
+# Env: KDCC_PALLAS_RNET=0/1.
+use_pallas_resnet_eval: bool | None = False
+
+
+def pallas_resnet_eval_enabled() -> bool:
+    env = os.environ.get("KDCC_PALLAS_RNET")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_pallas_resnet_eval is not None:
+        return use_pallas_resnet_eval
+    return False
+
+
 # ResNet 7x7-s2 stem as a space-to-depth 4x4-s1 conv (exact rewrite):
 # XLA's C_in=3 7x7 conv lowering measured 1.54ms vs a 0.2ms memory bound at
 # b16/513² (round-3 teacher segment profile); S2D(2) turns it into a

@@ -145,14 +145,40 @@ class ResNet(nnx.Module):
             padding=((0, 0), (1, 1), (1, 1), (0, 0)),
         )
 
+    def _run_layer(self, x, layer):
+        """Run a residual stage; in eval mode under KDCC_PALLAS_RNET,
+        consecutive stride-1 bottlenecks run as fused folded-BN kernels
+        (ops.pallas.rchain), others (e.g. a stride-2 first block) stock."""
+        from .. import config
+
+        if (not config.pallas_resnet_eval_enabled()
+                or not layer[0].bn1.use_running_average
+                or x.shape[-1] % 8 != 0):
+            for b in layer:
+                x = b(x)
+            return x
+        from ..ops.pallas.rchain import _bneck_fusable, fused_resnet_blocks_eval
+
+        interp = config.pallas_interpret_mode()
+        run = []
+        for b in layer:
+            if _bneck_fusable(b):
+                run.append(b)
+                continue
+            if run:
+                x = fused_resnet_blocks_eval(x, run, interp)
+                run = []
+            x = b(x)
+        if run:
+            x = fused_resnet_blocks_eval(x, run, interp)
+        return x
+
     def __call__(self, x):
         x = self._stem_s2d(x) if self._stem_s2d_active() else self.stem(x)
         x = self._maxpool(x)
-        for b in self.layer1:
-            x = b(x)
+        x = self._run_layer(x, self.layer1)
         low_level = x
-        for b in self.layer2:
-            x = b(x)
+        x = self._run_layer(x, self.layer2)
         for b in self.layer3:
             x = b(x)
         for b in self.layer4:

@@ -1,0 +1,74 @@
+"""Fused eval-mode ResNet bottleneck kernels (ops.pallas.rchain) vs the
+stock NNX path, interpret mode on CPU."""
+
+import numpy as np
+import jax.numpy as jnp
+from flax import nnx
+
+from kd_cheap_conv_tpu import config
+from kd_cheap_conv_tpu.models.resnet import resnet50
+
+RNG = np.random.RandomState(13)
+
+
+def _randomize_bns(model):
+    for _, m in nnx.iter_modules(model):
+        if isinstance(m, nnx.BatchNorm):
+            c = m.mean[...].shape[0]
+            m.mean[...] = jnp.asarray(0.3 * RNG.randn(c).astype(np.float32))
+            m.var[...] = jnp.asarray((1 + 0.5 * RNG.rand(c)).astype(
+                np.float32))
+            m.scale[...] = jnp.asarray(
+                (1 + 0.2 * RNG.randn(c)).astype(np.float32))
+            m.bias[...] = jnp.asarray(0.2 * RNG.randn(c).astype(np.float32))
+
+
+def test_rchain_blocks_eval_parity():
+    from kd_cheap_conv_tpu.ops.pallas.rchain import (
+        _bneck_fusable, fused_resnet_blocks_eval)
+
+    m = resnet50(output_stride=16, rngs=nnx.Rngs(0))
+    _randomize_bns(m)
+    m.eval()
+    blocks = list(m.layer1)
+    assert all(_bneck_fusable(b) for b in blocks)
+    assert blocks[0].downsample is not None          # in-kernel 1x1 skip
+    # layer2's stride-2 first block must NOT be fusable
+    assert not _bneck_fusable(m.layer2[0])
+    assert all(_bneck_fusable(b) for b in list(m.layer2)[1:])
+
+    x = jnp.asarray(RNG.randn(2, 9, 11, 64), jnp.float32)
+    got = fused_resnet_blocks_eval(x, blocks, interpret=True)
+    want = x
+    for b in blocks:
+        want = b(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_rchain_model_integration():
+    """Full ResNet-50 forward in eval mode with the fused layers
+    force-enabled vs stock: both feature taps."""
+    def build():
+        m = resnet50(output_stride=16, rngs=nnx.Rngs(0))
+        _randomize_bns(m)
+        m.eval()
+        return m
+
+    RNG.seed(13)
+    ref = build()
+    RNG.seed(13)
+    fused = build()
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 33, 33, 3),
+                    jnp.float32)
+    old = config.use_pallas_resnet_eval
+    try:
+        config.use_pallas_resnet_eval = False
+        want = ref(x)
+        config.use_pallas_resnet_eval = True
+        got = fused(x)
+    finally:
+        config.use_pallas_resnet_eval = old
+    for k in ("low_level", "out"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=5e-4, atol=5e-4, err_msg=k)
