@@ -258,9 +258,50 @@ class MobileNetV2(nnx.Module):
             bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
         return out, low
 
+    def _eval_fused_active(self) -> bool:
+        """Eval-mode folded-BN IR kernels (inference / TTA, config #5)."""
+        from .. import config
+
+        return (config.pallas_ir_enabled()
+                and self.features[0].bn.use_running_average is True
+                and self.channel_major_until == 0)
+
+    def _call_eval_fused(self, x):
+        """Group consecutive stride-1 InvertedResiduals into folded eval
+        kernels (ops.pallas.irchain.fused_mnv2_blocks_eval); stride-2
+        blocks and the entry conv run stock."""
+        from .. import config
+        from ..ops.pallas.irchain import (fused_mnv2_blocks_eval,
+                                          ir_block_fusable)
+
+        interp = config.pallas_interpret_mode()
+        low_level = None
+        run = []
+
+        def flush(x):
+            nonlocal run
+            if run:
+                x = fused_mnv2_blocks_eval(x, run, interp)
+                run = []
+            return x
+
+        for i, m in enumerate(self.features):
+            if i > 0 and ir_block_fusable(m):
+                run.append(m)
+            else:
+                x = flush(x)
+                x = m(x)
+            if i == 3:
+                x = flush(x)
+                low_level = x
+        x = flush(x)
+        return {"low_level": low_level, "out": x}
+
     def __call__(self, x):
         import jax.numpy as jnp
 
+        if self._eval_fused_active():
+            return self._call_eval_fused(x)
         if self._fused_stem_active():
             x = self._call_fused_stem(x)
             start = 3

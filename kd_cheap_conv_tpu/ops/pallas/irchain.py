@@ -52,7 +52,10 @@ BH_IR = int(os.environ.get("KDCC_IR_BH", "8"))
 # blocks for just that pass.
 BH_IR_S2B = int(os.environ.get("KDCC_IR_BH_S2B", "2"))
 
-from .stem import (PAD, _bn_pack, _bnbwd_identity, _bnbwd_pack, _geom,
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stem import (_CP, PAD, _bn_pack, _bnbwd_identity, _bnbwd_pack, _geom,
                    _lanes, _run_bn_dw, _run_bn_dw_s2, _run_bn_pw,
                    _run_dw_bwd, _run_dw_s2_bwd, _run_pw_bwd)
 
@@ -369,3 +372,126 @@ def _sh_ir_bwd_rule(mesh, eps, interpret, res, cts):
 
 
 fused_ir_chain_sharded.defvjp(_sh_ir_fwd_rule, _sh_ir_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# EVAL: folded-BN inverted-residual kernels (one per block) for inference
+# (TTA, config #5) and eval epochs. BN affines fold into the expand/project
+# weights and the dw kernel; relu6 stays in-kernel. Forward-only.
+# ---------------------------------------------------------------------------
+
+BH_IR_EVAL = int(os.environ.get("KDCC_IR_BH_EVAL", "8"))
+
+
+def _k_ir_eval(x_ref, *refs, bh, H, W, wseg, dil, expand, res):
+    """One s1 inverted residual: [pw-expand + relu6] -> dw3x3(dil) + relu6
+    -> pw-project [+ residual]. refs = [we, be,] kd, bd, wp, bp, y_ref.
+    x halo (1, bh+2*dil, Cin, Wp) at rows j*bh-dil; biases (C, 1)."""
+    from .stem import _dw_taps, _mask_lanes, _mm, _rows_in
+
+    y_ref = refs[-1]
+    consts = refs[:-1]
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)
+    if res:
+        x_c = jnp.where(_rows_in(bh, j, bh, 0, H), x[dil:dil + bh], 0.0)
+        x_c = _mask_lanes(x_c, W)
+    if expand:
+        we, be = consts[0], consts[1]
+        consts = consts[2:]
+        bef = be[...].astype(jnp.float32)
+        h = jnp.stack([_mm(we[...], x[r], y_ref.dtype) + bef
+                       for r in range(x.shape[0])], axis=0)
+        h = jnp.clip(h, 0.0, 6.0)
+    else:
+        h = x
+    kd, bd, wp, bp = consts
+    h = jnp.where(_rows_in(h.shape[0], j, bh, -dil, H), h, 0.0)
+    h = _mask_lanes(h, W)
+    t = _dw_taps(h, kd[...].astype(jnp.float32), bh, h.shape[2],
+                 wseg=wseg, dil=dil)
+    h2 = jnp.clip(t + bd[...].astype(jnp.float32), 0.0, 6.0)
+    bpf = bp[...].astype(jnp.float32)
+    h3 = jnp.stack([_mm(wp[...], h2[r], y_ref.dtype) + bpf
+                    for r in range(bh)], axis=0)
+    if res:
+        h3 = h3 + x_c
+    y_ref[0] = h3.astype(y_ref.dtype)
+
+
+def _bn_fold_eval(bn):
+    s = bn.scale[...] * jax.lax.rsqrt(bn.var[...] + bn.epsilon)
+    return s, bn.bias[...] - bn.mean[...] * s
+
+
+def _fold_ir_eval(f, dt):
+    """(consts, expand, dil, cout) for one eval InvertedResidual."""
+    consts = []
+    expand = len(f.body) == 2
+    if expand:
+        e = f.body[0]
+        s, t = _bn_fold_eval(e.bn)
+        consts += [(s[:, None] * e.conv.kernel[...][0, 0].T.astype(
+            jnp.float32)).astype(dt), t[:, None]]
+    d = f.body[-1]
+    s, t = _bn_fold_eval(d.bn)
+    kv = d.conv.kernel[...]
+    c = kv.shape[3]
+    kd = jnp.transpose(kv[:, :, 0, :], (2, 0, 1)).reshape(c, 9)
+    consts += [kd * s[:, None], t[:, None]]
+    s, t = _bn_fold_eval(f.pw_bn)
+    consts += [(s[:, None] * f.pw_linear.kernel[...][0, 0].T.astype(
+        jnp.float32)).astype(dt), t[:, None]]
+    return consts, expand, int(d.conv.dilation[0]), \
+        f.pw_linear.kernel[...].shape[3]
+
+
+def ir_block_fusable(f) -> bool:
+    try:
+        d = f.body[-1].conv
+        return (d.kernel_size == (3, 3) and d.stride == (1, 1)
+                and d.groups == d.in_channels and d.bias is None
+                and f.pw_linear.kernel_size == (1, 1)
+                and f.pw_linear.bias is None
+                and (len(f.body) == 1
+                     or f.body[0].conv.kernel_size == (1, 1)))
+    except AttributeError:
+        return False
+
+
+def fused_mnv2_blocks_eval(x_nhwc, blocks, interpret: bool = False,
+                           bh: int | None = None):
+    """Run consecutive stride-1 InvertedResiduals in eval mode, one folded
+    kernel per block (only block input/output touch HBM)."""
+    from .stem import _lanes
+
+    bh = bh or BH_IR_EVAL
+    n, H, w, c = x_nhwc.shape
+    nh = pl.cdiv(H, bh)
+    R = PAD + (nh + 1) * bh
+    dt = x_nhwc.dtype
+    z = _nhwc_to_nw(x_nhwc, R)
+    W = z.shape[3]
+    for f in blocks:
+        consts, expand, dil, cout = _fold_ir_eval(f, dt)
+        halo = pl.BlockSpec(
+            (pl.Element(1), pl.Element(bh + 2 * dil),
+             pl.Element(z.shape[2]), pl.Element(W)),
+            lambda i, j, d=dil: (i, PAD + j * bh - d, 0, 0),
+            memory_space=pltpu.VMEM)
+        specs = [pl.BlockSpec(a.shape, lambda i, j, nd=a.ndim: (0,) * nd,
+                              memory_space=pltpu.VMEM) for a in consts]
+        z = pl.pallas_call(
+            functools.partial(_k_ir_eval, bh=bh, H=H, W=n * w, wseg=w,
+                              dil=dil, expand=expand,
+                              res=f.use_res_connect),
+            out_shape=jax.ShapeDtypeStruct((1, R, cout, W), dt),
+            grid=(1, nh),
+            in_specs=[halo] + specs,
+            out_specs=pl.BlockSpec(
+                (1, bh, cout, W),
+                lambda i, j, off=PAD // bh: (i, j + off, 0, 0),
+                memory_space=pltpu.VMEM),
+            interpret=interpret, compiler_params=_CP,
+        )(z, *consts)
+    return _nw_to_nhwc(z, n, H, w)

@@ -174,3 +174,43 @@ def test_fused_ir_module_integration():
             np.testing.assert_allclose(np.asarray(bf.var[...]),
                                        np.asarray(br.var[...]),
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_mnv2_eval_fused_matches_stock():
+    """Eval-mode folded-BN IR kernels (inference path, config #5): full
+    MobileNetV2 forward with the knob on vs stock eval."""
+    from flax import nnx
+
+    from kd_cheap_conv_tpu import config
+    from kd_cheap_conv_tpu.models.mobilenetv2 import MobileNetV2
+
+    def build():
+        m = MobileNetV2(output_stride=16, rngs=nnx.Rngs(0))
+        # randomize running stats so the BN folds are non-trivial
+        rng = np.random.RandomState(21)
+        for _, mod in nnx.iter_modules(m):
+            if isinstance(mod, nnx.BatchNorm):
+                c = mod.mean[...].shape[0]
+                mod.mean[...] = jnp.asarray(
+                    0.3 * rng.randn(c).astype(np.float32))
+                mod.var[...] = jnp.asarray(
+                    (1 + 0.5 * rng.rand(c)).astype(np.float32))
+        m.eval()
+        return m
+
+    ref, fused = build(), build()
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 65, 65, 3),
+                    jnp.float32)
+    old = config.use_pallas_ir
+    try:
+        config.use_pallas_ir = False
+        assert not fused._eval_fused_active()
+        want = ref(x)
+        config.use_pallas_ir = True
+        assert fused._eval_fused_active()
+        got = fused(x)
+    finally:
+        config.use_pallas_ir = old
+    for k in ("low_level", "out"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=5e-4, atol=5e-4, err_msg=k)
