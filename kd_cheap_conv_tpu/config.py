@@ -255,6 +255,21 @@ def split_decoder_concat_enabled() -> bool:
     return bool(split_decoder_concat)
 
 
+# ASPP concat-split: project(cat(b1..b5)) as sum of per-branch 1x1 convs
+# (exact channel-split of the project kernel, same algebra as the decoder
+# split), so the 5*256-channel concat never materializes and the pool
+# branch's contribution is a broadcast-add of a 1x1 projection instead of
+# a conv on the broadcast tensor. Default ON (pure jnp). KDCC_SPLIT_ASPP=0.
+split_aspp_concat: bool | None = True
+
+
+def split_aspp_concat_enabled() -> bool:
+    env = os.environ.get("KDCC_SPLIT_ASPP")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return bool(split_aspp_concat)
+
+
 # MobileNetV2 stem layout: run the first K feature blocks channel-major
 # (NCHW) so low-channel high-resolution activations (C=16..96 at 257²) don't
 # lane-pad channels to 128 (4-8x HBM traffic). 0 = off. Env: KDCC_STEM_CM=K.

@@ -253,3 +253,47 @@ def test_resnet_s2d_stem_parity():
                                    rtol=1e-3, atol=1e-4)
     finally:
         config.use_s2d_stem = old
+
+
+def test_aspp_concat_split_parity():
+    """KDCC_SPLIT_ASPP: project(cat(branches)) == sum of per-branch
+    projections — values, grads, and the project BN batch stats."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from kd_cheap_conv_tpu import config
+    from kd_cheap_conv_tpu.models.aspp import ASPP
+
+    def build():
+        return ASPP(32, (2, 4, 6), out_channels=16, dropout_rate=0.0,
+                    rngs=nnx.Rngs(0))
+
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 9, 9, 32), jnp.float32)
+
+    def loss(m, x):
+        return jnp.sum(m(x).astype(jnp.float32) ** 2)
+
+    ref, split = build(), build()
+    old = config.split_aspp_concat
+    try:
+        config.split_aspp_concat = False
+        v_ref, g_ref = nnx.value_and_grad(loss)(ref, x)
+        config.split_aspp_concat = True
+        assert split._split_project_ok()
+        v_split, g_split = nnx.value_and_grad(loss)(split, x)
+    finally:
+        config.split_aspp_concat = old
+    np.testing.assert_allclose(float(v_split), float(v_ref), rtol=1e-5)
+    # grads: split-sum vs concat changes f32 contraction order; pure
+    # reassociation noise (see test_split_decoder_grad_parity's f64 study)
+    for a, b in zip(jax.tree.leaves(g_split), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(split.project.bn.mean[...]),
+                               np.asarray(ref.project.bn.mean[...]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(split.project.bn.var[...]),
+                               np.asarray(ref.project.bn.var[...]),
+                               rtol=1e-5, atol=1e-6)
