@@ -182,3 +182,23 @@ def set_bn_momentum(module: nnx.Module, torch_momentum: float = 0.01) -> None:
     for _, m in nnx.iter_modules(module):
         if isinstance(m, nnx.BatchNorm):
             m.momentum = 1.0 - torch_momentum
+
+
+def maybe_shard_eval(fn, batch: int):
+    """Mesh dispatch for fused EVAL fast paths (forward-only Pallas kernels,
+    no batch statistics): single device -> fn as-is; batch-sharded mesh ->
+    shard_map-wrapped fn; multi-device without a usable mesh -> None (the
+    caller must fall back to the stock path, since pallas_call has no GSPMD
+    partitioning rule)."""
+    import jax
+
+    from .. import config
+
+    if jax.device_count() == 1:
+        return fn
+    mesh = config.active_mesh()
+    if mesh is not None and batch % mesh.devices.size == 0:
+        from ..parallel import shard_eval_map
+
+        return shard_eval_map(fn, mesh)
+    return None

@@ -273,6 +273,7 @@ class MobileNetV2(nnx.Module):
         from .. import config
         from ..ops.pallas.irchain import (fused_mnv2_blocks_eval,
                                           ir_block_fusable)
+        from .layers import maybe_shard_eval
 
         interp = config.pallas_interpret_mode()
         low_level = None
@@ -281,8 +282,16 @@ class MobileNetV2(nnx.Module):
         def flush(x):
             nonlocal run
             if run:
-                x = fused_mnv2_blocks_eval(x, run, interp)
+                blocks = tuple(run)
                 run = []
+                fn = maybe_shard_eval(
+                    lambda t: fused_mnv2_blocks_eval(t, blocks, interp),
+                    x.shape[0])
+                if fn is None:               # multi-device, no usable mesh
+                    for b in blocks:
+                        x = b(x)
+                else:
+                    x = fn(x)
             return x
 
         for i, m in enumerate(self.features):

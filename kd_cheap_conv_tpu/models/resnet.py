@@ -158,19 +158,32 @@ class ResNet(nnx.Module):
                 x = b(x)
             return x
         from ..ops.pallas.rchain import _bneck_fusable, fused_resnet_blocks_eval
+        from .layers import maybe_shard_eval
 
         interp = config.pallas_interpret_mode()
+
+        def flush(x, run):
+            blocks = tuple(run)
+            fn = maybe_shard_eval(
+                lambda t: fused_resnet_blocks_eval(t, blocks, interp),
+                x.shape[0])
+            if fn is None:                   # multi-device, no usable mesh
+                for b in blocks:
+                    x = b(x)
+                return x
+            return fn(x)
+
         run = []
         for b in layer:
             if _bneck_fusable(b):
                 run.append(b)
                 continue
             if run:
-                x = fused_resnet_blocks_eval(x, run, interp)
+                x = flush(x, run)
                 run = []
             x = b(x)
         if run:
-            x = fused_resnet_blocks_eval(x, run, interp)
+            x = flush(x, run)
         return x
 
     def __call__(self, x):

@@ -244,12 +244,21 @@ class Xception65(nnx.Module):
         x = self.block1(x)
         low_level = x
         x = self.block3(self.block2(x))
+        from .layers import maybe_shard_eval
+
+        interp = config.pallas_interpret_mode()
         mode = self._fused_middle_mode()
         if mode == "eval":
             from ..ops.pallas.xchain import fused_x_middle_eval
 
-            x = fused_x_middle_eval(x, list(self.middle),
-                                    config.pallas_interpret_mode())
+            fn = maybe_shard_eval(
+                lambda t: fused_x_middle_eval(t, list(self.middle), interp),
+                x.shape[0])
+            if fn is not None:
+                x = fn(x)
+            else:                            # multi-device, no usable mesh
+                for b in self.middle:
+                    x = b(x)
         elif mode == "train":
             x = self._call_fused_middle_train(x)
         else:
@@ -259,14 +268,19 @@ class Xception65(nnx.Module):
         if tmode == "eval":
             from ..ops.pallas.xchain import fused_x_tail_eval
 
-            x = fused_x_tail_eval(
-                x, self.exit_block,
-                (self.exit_sep1, self.exit_sep2, self.exit_sep3),
-                int(self.exit_block.sep1.sep.depthwise.dilation[0]),
-                config.pallas_interpret_mode())
-        elif tmode == "train":
+            fn = maybe_shard_eval(
+                lambda t: fused_x_tail_eval(
+                    t, self.exit_block,
+                    (self.exit_sep1, self.exit_sep2, self.exit_sep3),
+                    int(self.exit_block.sep1.sep.depthwise.dilation[0]),
+                    interp),
+                x.shape[0])
+            tmode = None if fn is None else tmode
+            if fn is not None:
+                x = fn(x)
+        if tmode == "train":
             x = self._call_fused_tail_train(x)
-        else:
+        elif tmode != "eval":
             x = self.exit_block(x)
             x = self.exit_sep3(self.exit_sep2(self.exit_sep1(x)))
         return {"low_level": low_level, "out": x}

@@ -54,3 +54,15 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params/opt state) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_eval_map(fn, mesh, *, axis_name: str = DATA_AXIS):
+    """shard_map-wrap a batch-independent eval function (x NHWC -> y NHWC)
+    over the data mesh — pallas_call has no GSPMD partitioning rule, so
+    fused eval kernels must be explicitly mapped when the batch is sharded.
+    No collectives: eval kernels carry no batch statistics."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(fn, mesh=mesh, in_specs=P(axis_name),
+                     out_specs=P(axis_name), check_vma=False)

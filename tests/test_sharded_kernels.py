@@ -183,3 +183,43 @@ def test_kd_step_mesh_uses_fused_paths():
                         t_state2)
     loss_ref = float(metrics2["loss"])
     np.testing.assert_allclose(loss_mesh, loss_ref, rtol=2e-3)
+
+
+def test_sharded_eval_fast_paths():
+    """Batch-sharded EVAL forward with the folded-BN fused kernels engaged
+    (shard_map-wrapped via models.layers.maybe_shard_eval) == stock eval."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from kd_cheap_conv_tpu import config
+    from kd_cheap_conv_tpu.models import build_model
+    from kd_cheap_conv_tpu.parallel import make_mesh, replicate, shard_batch
+
+    mesh = make_mesh()
+    m = build_model("deeplabv3plus_resnet50", num_classes=7,
+                    output_stride=16, rngs=nnx.Rngs(0))
+    m.eval()
+    graphdef, state = nnx.split(m)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 33, 33, 3),
+                    jnp.float32)
+
+    @jax.jit
+    def f(state, x):
+        return nnx.merge(graphdef, state)(x)
+
+    old = config.use_pallas_resnet_eval
+    try:
+        config.use_pallas_resnet_eval = False
+        want = np.asarray(f(state, x))
+        config.use_pallas_resnet_eval = True
+        config.set_active_mesh(mesh)
+        got = np.asarray(f(replicate(state, mesh),
+                           *shard_batch((x,), mesh)))
+    finally:
+        config.use_pallas_resnet_eval = old
+        config.set_active_mesh(None)
+    # logits are O(100); per-kernel f32 reassociation leaves a few
+    # elements ~6e-4 absolute apart
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=2e-3)
