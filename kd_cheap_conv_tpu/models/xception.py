@@ -106,13 +106,15 @@ class Xception65(nnx.Module):
 
     def _fused_middle_mode(self) -> str | None:
         """None (stock) | 'eval' | 'train' — structural guard for the fused
-        middle-flow chains (ops.pallas.xchain): dilation-1 middle blocks
-        (OS16/32), plain residuals, Xception sep structure intact."""
+        middle-flow chains (ops.pallas.xchain): uniform-dilation middle
+        blocks (d=1 at OS16/32, d=2 at OS8), plain residuals, Xception sep
+        structure intact."""
         from .. import config
 
         if not config.pallas_xmid_enabled():
             return None
         try:
+            d = self.middle[0].sep1.sep.depthwise.dilation[0]
             for blk in self.middle:
                 if blk.skip_conv is not None:
                     return None
@@ -123,7 +125,7 @@ class Xception65(nnx.Module):
                             or s.sep.bn_dw is None
                             or dw.kernel_size != (3, 3)
                             or dw.stride != (1, 1)
-                            or dw.dilation != (1, 1)
+                            or dw.dilation != (d, d)
                             or dw.groups != c
                             or pw.kernel[...].shape != (1, 1, c, c)
                             or dw.bias is not None or pw.bias is not None):
@@ -143,15 +145,16 @@ class Xception65(nnx.Module):
 
         p = middle_train_params(self.middle)
         eps = float(self.middle[0].sep1.sep.bn_dw.epsilon)
+        d = int(self.middle[0].sep1.sep.depthwise.dilation[0])
         nblk = len(self.middle)
         mesh = config.active_mesh()
         if (mesh is not None and jax.device_count() > 1
                 and x.shape[0] % mesh.devices.size == 0):
             out, flat = fused_x_middle_train_sharded(
-                x, p, mesh, nblk, eps, config.pallas_interpret_mode())
+                x, p, mesh, nblk, eps, config.pallas_interpret_mode(), d)
         else:
             out, flat = fused_x_middle_train(
-                x, p, nblk, eps, config.pallas_interpret_mode())
+                x, p, nblk, eps, config.pallas_interpret_mode(), d)
         it = iter(flat)
         for blk in self.middle:
             for s in (blk.sep1, blk.sep2, blk.sep3):
@@ -251,8 +254,10 @@ class Xception65(nnx.Module):
         if mode == "eval":
             from ..ops.pallas.xchain import fused_x_middle_eval
 
+            _d = int(self.middle[0].sep1.sep.depthwise.dilation[0])
             fn = maybe_shard_eval(
-                lambda t: fused_x_middle_eval(t, list(self.middle), interp),
+                lambda t: fused_x_middle_eval(t, list(self.middle), interp,
+                                              dil=_d),
                 x.shape[0])
             if fn is not None:
                 x = fn(x)

@@ -76,29 +76,30 @@ def _unfold(z, n, H, w):
 # ---------------------------------------------------------------------------
 
 
-def _k_block_eval(x_ref, k_ref, w_ref, b_ref, y_ref, *, bh, H, W, wseg):
-    """One middle block: (relu -> dw3x3 -> pw + bias) x3 + residual.
+def _k_block_eval(x_ref, k_ref, w_ref, b_ref, y_ref, *, bh, H, W, wseg,
+                  dil=1):
+    """One middle block: (relu -> dw3x3(dil) -> pw + bias) x3 + residual.
 
-    x halo (1, bh+6, C, W) at global rows j*bh-3 (PAD top rows cover the
-    first block). k (3, C, 9); w (3, C, C) BN-folded pw; b (3, C, 1) folded
-    biases. Each level masks rows (conv zero padding) and lanes (folded
-    biases are nonzero on pad lanes; the circular roll wraps lane 0 into
-    the last pad lane) before the taps.
+    x halo (1, bh+6*dil, C, W) at global rows j*bh-3*dil (PAD top rows
+    cover the first block). k (3, C, 9); w (3, C, C) BN-folded pw;
+    b (3, C, 1) folded biases. Each level masks rows (conv zero padding)
+    and lanes (folded biases are nonzero on pad lanes; the circular roll
+    wraps lane 0 into the last pad lane) before the taps.
     """
     j = pl.program_id(1)
-    h = x_ref[0].astype(jnp.float32)                  # (bh+6, C, W)
-    res = h[3:3 + bh]
+    h = x_ref[0].astype(jnp.float32)                  # (bh+6*dil, C, W)
+    res = h[3 * dil:3 * dil + bh]
     for i in range(NCONV):
         rows = h.shape[0]
         h = jnp.maximum(h, 0.0)
-        h = jnp.where(_rows_in(rows, j, bh, i - 3, H), h, 0.0)
+        h = jnp.where(_rows_in(rows, j, bh, (i - 3) * dil, H), h, 0.0)
         h = _mask_lanes(h, W)
-        t = _dw_taps(h, k_ref[i].astype(jnp.float32), rows - 2, h.shape[2],
-                     wseg=wseg)
+        t = _dw_taps(h, k_ref[i].astype(jnp.float32), rows - 2 * dil,
+                     h.shape[2], wseg=wseg, dil=dil)
         w = w_ref[i]                                  # (C, C)
         b = b_ref[i].astype(jnp.float32)              # (C, 1)
         h = jnp.stack([_mm(w, t[r], y_ref.dtype) + b
-                       for r in range(rows - 2)], axis=0)
+                       for r in range(rows - 2 * dil)], axis=0)
     y_ref[0] = (h + res).astype(y_ref.dtype)
 
 
@@ -129,7 +130,7 @@ def _fold_block_eval(block):
 
 
 def fused_x_middle_eval(x_nhwc, blocks, interpret: bool = False,
-                        bh: int | None = None):
+                        bh: int | None = None, dil: int = 1):
     """Run the 16 middle blocks in eval mode (running-stat BN), one Pallas
     kernel per block. blocks: iterable of XceptionBlock modules (their BN
     affines are folded at trace time). Forward-only."""
@@ -144,15 +145,17 @@ def fused_x_middle_eval(x_nhwc, blocks, interpret: bool = False,
                        lambda i, j, off=PAD // bh: (i, j + off, 0, 0),
                        memory_space=pltpu.VMEM)
     halo = pl.BlockSpec(
-        (pl.Element(1), pl.Element(bh + 6), pl.Element(c), pl.Element(W)),
-        lambda i, j: (i, PAD + j * bh - 3, 0, 0),
+        (pl.Element(1), pl.Element(bh + 6 * dil), pl.Element(c),
+         pl.Element(W)),
+        lambda i, j: (i, PAD + j * bh - 3 * dil, 0, 0),
         memory_space=pltpu.VMEM)
     const3 = lambda s: pl.BlockSpec((3,) + s, lambda i, j: (0, 0, 0),
                                     memory_space=pltpu.VMEM)
     for b in blocks:
         k3, w3, b3 = _fold_block_eval(b)
         z = pl.pallas_call(
-            functools.partial(_k_block_eval, bh=bh, H=H, W=nw, wseg=w),
+            functools.partial(_k_block_eval, bh=bh, H=H, W=nw, wseg=w,
+                              dil=dil),
             out_shape=jax.ShapeDtypeStruct(z.shape, dt),
             grid=(1, nh),
             in_specs=[halo, const3((c, 9)), const3((c, c)), const3((c, 1))],
@@ -169,7 +172,8 @@ def fused_x_middle_eval(x_nhwc, blocks, interpret: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _xm_fwd(x0, p, nblk, H, wseg, NW, eps, interpret, axis=None, nsh=1):
+def _xm_fwd(x0, p, nblk, H, wseg, NW, eps, interpret, axis=None, nsh=1,
+            dil=1):
     """x0 (1, R, C, NWp) padded FINISHED middle-flow input. p: per block b,
     conv i: k{b}_{i} (C,9), w{b}_{i} (C,C), gd/bd/gp/bp{b}_{i} (C,).
     Returns (x_out, stats, acts)."""
@@ -184,7 +188,7 @@ def _xm_fwd(x0, p, nblk, H, wseg, NW, eps, interpret, axis=None, nsh=1):
         for i in range(NCONV):
             aD, mD, vD = _run_bn_dw(a_entry, entry_bn, p[f"k{b}_{i}"], H, NW,
                                     "relu", eps, interpret, dt, axis, nsh,
-                                    wseg=wseg, bh=BH_XT)
+                                    wseg=wseg, bh=BH_XT, dil=dil)
             aP, mP, vP = _run_bn_pw(aD, _bn_pack(mD, vD, p[f"gd{b}_{i}"],
                                                  p[f"bd{b}_{i}"]),
                                     p[f"w{b}_{i}"], H, NW, False, eps,
@@ -203,7 +207,7 @@ def _xm_fwd(x0, p, nblk, H, wseg, NW, eps, interpret, axis=None, nsh=1):
 
 
 def _xm_bwd(p, stats, acts, nblk, H, wseg, NW, g, eps, interpret,
-            axis=None, nsh=1):
+            axis=None, nsh=1, dil=1):
     g_psum = ((lambda v: jax.lax.psum(v, axis)) if axis is not None
               else (lambda v: v))
     dt = acts[0][0].dtype
@@ -258,7 +262,8 @@ def _xm_bwd(p, stats, acts, nblk, H, wseg, NW, g, eps, interpret,
                                     p[f"bp{b}_{i - 1}"])
             gy, sE, dk = _run_dw_bwd(gyD, aD, a_entry, pnD, entry_bn,
                                      p[f"k{b}_{i}"], H, NW, eps, interpret,
-                                     dt, wseg=wseg, bh=BH_XT, relu_k="relu")
+                                     dt, wseg=wseg, bh=BH_XT, relu_k="relu",
+                                     dil=dil)
             sE = g_psum(sE)
             dp[f"k{b}_{i}"] = dk
             if i > 0:
@@ -278,9 +283,9 @@ def _xm_bwd(p, stats, acts, nblk, H, wseg, NW, g, eps, interpret,
     return G, {k: v.astype(p[k].dtype) for k, v in dp.items()}
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def fused_x_middle_train(x_nhwc, params, nblk: int, eps: float = 1e-5,
-                         interpret: bool = False):
+                         interpret: bool = False, dil: int = 1):
     """Xception middle flow, training mode (batch-moment BN).
 
     x_nhwc (N, H, W, 728) finished block3 output. Returns (out NHWC,
@@ -289,27 +294,30 @@ def fused_x_middle_train(x_nhwc, params, nblk: int, eps: float = 1e-5,
     n, H, w, c = x_nhwc.shape
     nh, R = _geom(H, BH_XT)
     x0 = _fold(x_nhwc, R)
-    out, stats, _ = _xm_fwd(x0, params, nblk, H, w, n * w, eps, interpret)
+    out, stats, _ = _xm_fwd(x0, params, nblk, H, w, n * w, eps, interpret,
+                            dil=dil)
     flat = tuple(mv for blk in stats for mv in blk)
     return _unfold(out, n, H, w), flat
 
 
-def _xmt_fwd_rule(x_nhwc, params, nblk, eps, interpret):
+def _xmt_fwd_rule(x_nhwc, params, nblk, eps, interpret, dil=1):
     n, H, w, c = x_nhwc.shape
     nh, R = _geom(H, BH_XT)
     x0 = _fold(x_nhwc, R)
-    out, stats, acts = _xm_fwd(x0, params, nblk, H, w, n * w, eps, interpret)
+    out, stats, acts = _xm_fwd(x0, params, nblk, H, w, n * w, eps,
+                               interpret, dil=dil)
     flat = tuple(mv for blk in stats for mv in blk)
     y = (_unfold(out, n, H, w), flat)
     return y, (params, stats, acts, x_nhwc.shape)
 
 
-def _xmt_bwd_rule(nblk, eps, interpret, res, cts):
+def _xmt_bwd_rule(nblk, eps, interpret, dil, res, cts):
     p, stats, acts, x_shape = res
     n, H, w, c = x_shape
     nh, R = _geom(H, BH_XT)
     g = _fold(cts[0], R)
-    gx, dp = _xm_bwd(p, stats, acts, nblk, H, w, n * w, g, eps, interpret)
+    gx, dp = _xm_bwd(p, stats, acts, nblk, H, w, n * w, g, eps, interpret,
+                     dil=dil)
     return _unfold(gx, n, H, w), dp
 
 
@@ -335,11 +343,11 @@ def _shmap(fn, mesh, in_specs, out_specs):
                      check_vma=False)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def fused_x_middle_train_sharded(x_nhwc, params, mesh, nblk: int,
                                  eps: float = 1e-5,
-                                 interpret: bool = False):
-    (y, _) = _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret)
+                                 interpret: bool = False, dil: int = 1):
+    (y, _) = _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret, dil)
     return y
 
 
@@ -350,7 +358,7 @@ def _sh_specs(mesh):
     return axis, P(axis), P()
 
 
-def _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret):
+def _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret, dil=1):
     global _sharded_xm_traces
     _sharded_xm_traces += 1
     axis, Pd, Pr = _sh_specs(mesh)
@@ -361,7 +369,7 @@ def _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret):
         nh, R = _geom(H, BH_XT)
         x0 = _fold(x, R)
         out, stats, acts = _xm_fwd(x0, p, nblk, H, w, n * w, eps, interpret,
-                                   axis, nsh)
+                                   axis, nsh, dil=dil)
         flat = tuple(mv for blk in stats for mv in blk)
         return _unfold(out, n, H, w), flat, stats, acts
 
@@ -370,11 +378,11 @@ def _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret):
     return ((out, flat), (params, stats, acts, x_nhwc.shape))
 
 
-def _sh_xmt_fwd_rule(x_nhwc, params, mesh, nblk, eps, interpret):
-    return _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret)
+def _sh_xmt_fwd_rule(x_nhwc, params, mesh, nblk, eps, interpret, dil=1):
+    return _sh_xm_fwd(x_nhwc, params, mesh, nblk, eps, interpret, dil)
 
 
-def _sh_xmt_bwd_rule(mesh, nblk, eps, interpret, res, cts):
+def _sh_xmt_bwd_rule(mesh, nblk, eps, interpret, dil, res, cts):
     p, stats, acts, x_shape = res
     _, H, w, c = x_shape
     axis, Pd, Pr = _sh_specs(mesh)
@@ -385,7 +393,7 @@ def _sh_xmt_bwd_rule(mesh, nblk, eps, interpret, res, cts):
         nh, R = _geom(H, BH_XT)
         gf = _fold(g, R)
         gx, dp = _xm_bwd(p, stats, acts, nblk, H, w, n_loc * w, gf, eps,
-                         interpret, axis, nsh)
+                         interpret, axis, nsh, dil=dil)
         return _unfold(gx, n_loc, H, w), dp
 
     dx, dp = _shmap(local, mesh, (Pr, Pr, Pd, Pd), (Pd, Pr))(

@@ -293,3 +293,62 @@ def test_xtail_train_forward_and_grads():
         np.testing.assert_allclose(np.asarray(g1[1][key]),
                                    np.asarray(g2[1][key]),
                                    rtol=2e-3, atol=2e-3, err_msg=f"d {key}")
+
+
+def test_xmid_train_dilated():
+    """OS8 middle blocks (dilation 2): fused train chain vs stock module
+    forward + grads via the model path."""
+    from kd_cheap_conv_tpu import config
+    from kd_cheap_conv_tpu.ops.pallas.xchain import fused_x_middle_train
+
+    blocks = [XceptionBlock(C, (C, C, C), dilation=2, rngs=nnx.Rngs(i))
+              for i in range(2)]
+    for blk in blocks:
+        for s in (blk.sep1, blk.sep2, blk.sep3):
+            s.sep.depthwise.kernel[...] = jnp.asarray(
+                RNG.randn(3, 3, 1, C).astype(np.float32) * 0.4)
+            s.sep.pointwise.kernel[...] = jnp.asarray(
+                RNG.randn(1, 1, C, C).astype(np.float32) * 0.3)
+    p = middle_train_params(blocks)
+    x = jnp.asarray(RNG.randn(2, 11, 13, C), jnp.float32)
+    w = jnp.asarray(RNG.randn(2, 11, 13, C), jnp.float32)
+
+    def stock(x, p):
+        # train-mode stock chain, pure fn over the same params
+        h = x
+        for b in range(2):
+            g = h
+            for i in range(3):
+                g = jnp.maximum(g, 0.0)
+                kv = p[f"k{b}_{i}"].reshape(C, 3, 3).transpose(
+                    1, 2, 0)[:, :, None]
+                aD = depthwise_conv2d(g, kv, padding=2, dilation=2)
+                mu = aD.mean(axis=(0, 1, 2))
+                var = (aD * aD).mean(axis=(0, 1, 2)) - mu * mu
+                g = ((aD - mu) * jax.lax.rsqrt(var + EPS)
+                     * p[f"gd{b}_{i}"] + p[f"bd{b}_{i}"])
+                aP = conv2d(g, p[f"w{b}_{i}"].T[None, None])
+                mu = aP.mean(axis=(0, 1, 2))
+                var = (aP * aP).mean(axis=(0, 1, 2)) - mu * mu
+                g = ((aP - mu) * jax.lax.rsqrt(var + EPS)
+                     * p[f"gp{b}_{i}"] + p[f"bp{b}_{i}"])
+            h = g + h
+        return h
+
+    def f_fused(x, p):
+        out, _ = fused_x_middle_train(x, p, 2, EPS, True, 2)
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    def f_ref(x, p):
+        return jnp.sum(stock(x, p) * w)
+
+    np.testing.assert_allclose(float(f_fused(x, p)), float(f_ref(x, p)),
+                               rtol=1e-4)
+    g1 = jax.grad(f_fused, argnums=(0, 1))(x, p)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=2e-3, atol=2e-4)
+    for key in sorted(p):
+        np.testing.assert_allclose(np.asarray(g1[1][key]),
+                                   np.asarray(g2[1][key]),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d {key}")
