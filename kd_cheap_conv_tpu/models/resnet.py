@@ -104,35 +104,18 @@ class ResNet(nnx.Module):
                 and c.bias is None)
 
     def _stem_s2d(self, x):
-        """Exact space-to-depth rewrite of the 7x7/s2 stem conv: pad to the
-        stride grid, fold 2x2 patches into channels (C=12), and run a 4x4
-        VALID conv whose kernel is the 7x7 kernel scattered over the
-        (patch-offset, tap) decomposition dh = 2a + ph. Same math, but the
-        contraction is 4*4*12=192 wide instead of 7*3=21-per-row, so XLA
-        tiles it onto the MXU instead of its small-channel path. BN+relu
-        stay on the module (identical train/eval semantics)."""
-        import jax.lax as lax
-        import jax.numpy as jnp
+        """Exact space-to-depth rewrite of the 7x7/s2 stem conv
+        (ops.conv.conv2d_s2d): the contraction becomes 4x4x12=192 wide so
+        XLA tiles it onto the MXU instead of its small-channel path.
+        BN+relu stay on the module (identical train/eval semantics)."""
+        from ..ops.conv import conv2d_s2d
 
         conv = self.stem.conv
         w = conv.kernel[...]                          # (7, 7, 3, 64) HWIO
         if conv.dtype is not None:
             x = x.astype(conv.dtype)
             w = w.astype(conv.dtype)
-        n, H, W, ci = x.shape
-        ho, wo = (H + 1) // 2, (W + 1) // 2
-        rp, cp = 2 * ho + 6, 2 * wo + 6               # even padded extents
-        xp = jnp.pad(x, ((0, 0), (3, rp - H - 3), (3, cp - W - 3), (0, 0)))
-        s2d = xp.reshape(n, rp // 2, 2, cp // 2, 2, ci)
-        s2d = jnp.transpose(s2d, (0, 1, 3, 2, 4, 5)).reshape(
-            n, rp // 2, cp // 2, 4 * ci)
-        w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))   # 7->8 taps
-        w2 = jnp.transpose(w8.reshape(4, 2, 4, 2, ci, -1),
-                           (0, 2, 1, 3, 4, 5)).reshape(4, 4, 4 * ci, -1)
-        y = lax.conv_general_dilated(
-            s2d, w2, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return nnx.relu(self.stem.bn(y))
+        return nnx.relu(self.stem.bn(conv2d_s2d(x, w, 3)))
 
     def _maxpool(self, x):
         # torch MaxPool2d(kernel_size=3, stride=2, padding=1).

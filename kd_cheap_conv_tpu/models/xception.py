@@ -240,10 +240,32 @@ class Xception65(nnx.Module):
             bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
         return out
 
+    def _conv1_s2d_active(self) -> bool:
+        from .. import config
+
+        c = self.conv1.conv
+        return (config.s2d_stem_enabled() and c.kernel_size == (3, 3)
+                and c.stride == (2, 2) and c.padding == (1, 1)
+                and c.dilation == (1, 1) and c.bias is None)
+
     def __call__(self, x):
         from .. import config
 
-        x = self.conv2(self.conv1(x))
+        if self._conv1_s2d_active():
+            # entry 3x3/s2 C_in=3 via the space-to-depth rewrite
+            # (ops.conv.conv2d_s2d) — same small-channel-conv tax as the
+            # ResNet stem; BN+relu stay on the module
+            from ..ops.conv import conv2d_s2d
+
+            c = self.conv1.conv
+            w = c.kernel[...]
+            if c.dtype is not None:
+                x = x.astype(c.dtype)
+                w = w.astype(c.dtype)
+            x = nnx.relu(self.conv1.bn(conv2d_s2d(x, w, 1)))
+            x = self.conv2(x)
+        else:
+            x = self.conv2(self.conv1(x))
         x = self.block1(x)
         low_level = x
         x = self.block3(self.block2(x))

@@ -195,3 +195,37 @@ def fixed_padding(x: jax.Array, kh: int, kw: int, dilation: int = 1) -> jax.Arra
 
     (t, b), (l, r) = _amt(kh), _amt(kw)
     return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
+def conv2d_s2d(x, w, padding: int):
+    """Stride-2 conv with small C_in as an exact space-to-depth rewrite.
+
+    XLA:TPU's small-channel conv lowering runs image-entry convs (C_in=3)
+    far off the memory bound (the ResNet 7x7 stem measured 1.54ms vs a
+    0.2ms bound at b16/513²). Folding 2x2 input patches into channels
+    turns the k x k / s2 conv into a ceil(k/2)² VALID conv with a 4*C_in
+    contraction per tap position — wide enough for the MXU to tile.
+
+    x (N, H, W, Ci) NHWC; w (kh, kw, Ci, Co) HWIO; symmetric `padding`.
+    Exact: out[h',w'] = sum_{dh,dw} w[dh,dw] . xp[2h'+dh, 2w'+dw] with the
+    kernel scattered over dh = 2a + ph (and dw = 2b + pw).
+    """
+    import jax.lax as lax
+
+    kh, kw, ci, co = w.shape
+    n, H, W, _ = x.shape
+    ho = (H + 2 * padding - kh) // 2 + 1
+    wo = (W + 2 * padding - kw) // 2 + 1
+    ka, kb = (kh + 1) // 2, (kw + 1) // 2
+    rp, cp = 2 * (ho + ka - 1), 2 * (wo + kb - 1)
+    xp = jnp.pad(x, ((0, 0), (padding, rp - H - padding),
+                     (padding, cp - W - padding), (0, 0)))
+    s2d = xp.reshape(n, rp // 2, 2, cp // 2, 2, ci)
+    s2d = jnp.transpose(s2d, (0, 1, 3, 2, 4, 5)).reshape(
+        n, rp // 2, cp // 2, 4 * ci)
+    w2 = jnp.pad(w, ((0, 2 * ka - kh), (0, 2 * kb - kw), (0, 0), (0, 0)))
+    w2 = jnp.transpose(w2.reshape(ka, 2, kb, 2, ci, co),
+                       (0, 2, 1, 3, 4, 5)).reshape(ka, kb, 4 * ci, co)
+    return lax.conv_general_dilated(
+        s2d, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))

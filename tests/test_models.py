@@ -297,3 +297,29 @@ def test_aspp_concat_split_parity():
     np.testing.assert_allclose(np.asarray(split.project.bn.var[...]),
                                np.asarray(ref.project.bn.var[...]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_xception_conv1_s2d_parity():
+    import numpy as np
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from kd_cheap_conv_tpu import config
+    from kd_cheap_conv_tpu.models.xception import Xception65
+
+    m = Xception65(output_stride=16, rngs=nnx.Rngs(0))
+    m.eval()
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 65, 65, 3),
+                    jnp.float32)
+    old = config.use_s2d_stem
+    try:
+        config.use_s2d_stem = False
+        want = m(x)
+        config.use_s2d_stem = True
+        assert m._conv1_s2d_active()
+        got = m(x)
+    finally:
+        config.use_s2d_stem = old
+    for k in ("low_level", "out"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=5e-4, atol=5e-4, err_msg=k)
