@@ -135,6 +135,54 @@ class Xception65(nnx.Module):
         except (AttributeError, IndexError, TypeError):
             return None
 
+    def _fused_entry_ok(self, blk) -> bool:
+        """Train-mode structural guard for one fused entry block
+        (ops.pallas.xchain.fused_x_entry_block_train): stride-2 sep3 +
+        1x1/s2 skip, dilation-1 seps, channels multiples of 8."""
+        from .. import config
+
+        if not config.pallas_xmid_enabled():
+            return False
+        try:
+            if (blk.skip_conv is None or blk.skip_conv.stride != (2, 2)
+                    or blk.skip_conv.kernel_size != (1, 1)
+                    or blk.sep1.sep.bn_dw.use_running_average):
+                return False
+            for s, stride in ((blk.sep1, (1, 1)), (blk.sep2, (1, 1)),
+                              (blk.sep3, (2, 2))):
+                dw, pw = s.sep.depthwise, s.sep.pointwise
+                if (s.sep.bn_dw is None or s.post_relu
+                        or dw.kernel_size != (3, 3) or dw.stride != stride
+                        or dw.dilation != (1, 1)
+                        or dw.groups != dw.in_channels
+                        or dw.in_channels % 8 != 0
+                        or pw.kernel[...].shape[3] % 8 != 0
+                        or dw.bias is not None or pw.bias is not None):
+                    return False
+            return True
+        except (AttributeError, TypeError):
+            return False
+
+    def _call_fused_entry(self, x, blk):
+        from .. import config
+        from ..ops.pallas.xchain import (entry_block_params,
+                                         fused_x_entry_block_train)
+
+        p = entry_block_params(blk)
+        act1 = "relu" if blk.sep1.pre_relu else False
+        eps = float(blk.sep1.sep.bn_dw.epsilon)
+        out, stats = fused_x_entry_block_train(
+            x, p, act1, eps, config.pallas_interpret_mode())
+        bns = []
+        for s in (blk.sep1, blk.sep2, blk.sep3):
+            bns += [s.sep.bn_dw, s.bn]
+        bns.append(blk.skip_bn)
+        for bn, (m, v) in zip(bns, stats):
+            mom = bn.momentum
+            bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m
+            bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
+        return out
+
     def _call_fused_middle_train(self, x):
         import jax
 
@@ -248,6 +296,15 @@ class Xception65(nnx.Module):
                 and c.stride == (2, 2) and c.padding == (1, 1)
                 and c.dilation == (1, 1) and c.bias is None)
 
+    def _run_entry_block(self, x, blk):
+        import jax
+
+        # no sharded variant yet: single-device only (the KD-step batch is
+        # unsharded on one chip; multi-device falls back to stock)
+        if jax.device_count() == 1 and self._fused_entry_ok(blk):
+            return self._call_fused_entry(x, blk)
+        return blk(x)
+
     def __call__(self, x):
         from .. import config
 
@@ -266,9 +323,10 @@ class Xception65(nnx.Module):
             x = self.conv2(x)
         else:
             x = self.conv2(self.conv1(x))
-        x = self.block1(x)
+        x = self._run_entry_block(x, self.block1)
         low_level = x
-        x = self.block3(self.block2(x))
+        x = self._run_entry_block(x, self.block2)
+        x = self._run_entry_block(x, self.block3)
         from .layers import maybe_shard_eval
 
         interp = config.pallas_interpret_mode()

@@ -327,7 +327,7 @@ def _k_bn_pw(x_ref, bn_ref, w_ref, y_ref, s_ref, *, bh, H, W, relu, eps):
 
 
 def _k_bn_dw_s2(xp_ref, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
-                y_ref, st_ref, *, bh, Hin, Hout, eps):
+                y_ref, st_ref, *, bh, Hin, Hout, eps, relu=True):
     """bn+relu6 -> depthwise 3x3 STRIDE-2 -> y (Hout=Hin//2+..) + moments.
 
     xp block (1, bh+1, 2, C, Win): row PAIRS of the (N, R/2, 2, C, W)
@@ -337,20 +337,23 @@ def _k_bn_dw_s2(xp_ref, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
     """
     j = pl.program_id(1)
     _bn_dw_s2_body(xp_ref[0], bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
-                   y_ref, st_ref, j, bh=bh, Hin=Hin, Hout=Hout, eps=eps)
+                   y_ref, st_ref, j, bh=bh, Hin=Hin, Hout=Hout, eps=eps,
+                   relu=relu)
 
 
 def _k_bn_dw_s2_dma(xp_hbm, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
-                    y_ref, st_ref, buf, sem, *, bh, Hin, Hout, eps):
+                    y_ref, st_ref, buf, sem, *, bh, Hin, Hout, eps,
+                    relu=True):
     j = pl.program_id(1)
     (xp,) = _halo_fetch([xp_hbm], [lambda jj: PAD // 2 + jj * bh - 1],
                         [bh + 1], [buf], [sem], j, pl.num_programs(1))
     _bn_dw_s2_body(xp, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
-                   y_ref, st_ref, j, bh=bh, Hin=Hin, Hout=Hout, eps=eps)
+                   y_ref, st_ref, j, bh=bh, Hin=Hin, Hout=Hout, eps=eps,
+                   relu=relu)
 
 
 def _bn_dw_s2_body(xp, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
-                   y_ref, st_ref, j, *, bh, Hin, Hout, eps):
+                   y_ref, st_ref, j, *, bh, Hin, Hout, eps, relu=True):
     xp = xp.astype(jnp.float32)                      # (bh+1, 2C, Win)
     C = xp.shape[1] // 2
     bn = bn_ref[...].astype(jnp.float32)
@@ -379,7 +382,7 @@ def _bn_dw_s2_body(xp, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
     # at ~2.7 GF/cell the old way (profiled 2.05 ms/step at b16/513²).
     hs = []
     for dh, (rows, first) in enumerate(taps_rows):
-        h = _bn_apply(rows, bn, True, eps)
+        h = _bn_apply(rows, bn, relu, eps)
         # zero conv padding + garbage: global input row = 2*(j*bh+r)+first
         r = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
         gr = 2 * (r + j * bh) + first
@@ -500,7 +503,7 @@ def _run_bn_pw(x, bn, w2, H, W, relu, eps, interpret, out_dtype,
 
 
 def _run_bn_dw_s2(x, bn, k, Hin, Win, R2, eps, interpret, out_dtype,
-                  axis=None, nsh=1, n_img=1, bh=BH):
+                  axis=None, nsh=1, n_img=1, bh=BH, relu=True):
     """x (N,R,C,Wp) padded pre-BN; Win = real lane extent; stride-2 dw;
     returns (y (N,R2,C,Wout_p) padded, mean, var). Hout = (Hin+1)//2,
     Wout = (Win+1)//2 (pad-1) — pad lanes handled by the zero-extended
@@ -518,13 +521,13 @@ def _run_bn_dw_s2(x, bn, k, Hin, Win, R2, eps, interpret, out_dtype,
             for s in _sel_matrices(wseg_in, wseg_out, wp, wout, n_img)]
     if _dma_enabled():
         kern = functools.partial(_k_bn_dw_s2_dma, bh=bh, Hin=Hin, Hout=hout,
-                                 eps=eps)
+                                 eps=eps, relu=relu)
         x_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [pltpu.VMEM((2, bh + 1, 2 * c, win), x.dtype),
                    pltpu.SemaphoreType.DMA((2,))]
     else:
         kern = functools.partial(_k_bn_dw_s2, bh=bh, Hin=Hin, Hout=hout,
-                                 eps=eps)
+                                 eps=eps, relu=relu)
         x_spec = pl.BlockSpec(
             (pl.Element(1), pl.Element(bh + 1), pl.Element(2 * c),
              pl.Element(win)),
@@ -748,7 +751,8 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
 
 def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
                  st0_ref, st1_ref, st2_ref,
-                 gyk_ref, sums_ref, dk_ref, *, bh, Hin, Hout, eps):
+                 gyk_ref, sums_ref, dk_ref, *, bh, Hin, Hout, eps,
+                 relu_k=True):
     """Backward over [bn_k(relu6) -> dw3x3 STRIDE-2 -> a_next].
 
     Grid over the low-res g rows m in [j*bh, j*bh+bh). Blocks:
@@ -765,13 +769,13 @@ def _k_dw_s2_bwd(gy_ref, an_ref, akp_ref, pn_ref, bnk_ref, k_ref,
     _dw_s2_bwd_body(gy_ref[0], an_ref[0], akp_ref[0], pn_ref, bnk_ref,
                     k_ref, st0_ref, st1_ref, st2_ref,
                     gyk_ref, sums_ref, dk_ref,
-                    bh=bh, Hin=Hin, Hout=Hout, eps=eps)
+                    bh=bh, Hin=Hin, Hout=Hout, eps=eps, relu_k=relu_k)
 
 
 def _k_dw_s2_bwd_dma(gy_hbm, an_hbm, akp_hbm, pn_ref, bnk_ref, k_ref,
                      st0_ref, st1_ref, st2_ref,
                      gyk_ref, sums_ref, dk_ref, bufg, bufa, bufk,
-                     semg, sema, semk, *, bh, Hin, Hout, eps):
+                     semg, sema, semk, *, bh, Hin, Hout, eps, relu_k=True):
     j = pl.program_id(1)
     g_start = lambda jj: PAD + jj * bh
     p_start = lambda jj: PAD // 2 + jj * bh - 1
@@ -782,12 +786,13 @@ def _k_dw_s2_bwd_dma(gy_hbm, an_hbm, akp_hbm, pn_ref, bnk_ref, k_ref,
     _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
                     st0_ref, st1_ref, st2_ref,
                     gyk_ref, sums_ref, dk_ref,
-                    bh=bh, Hin=Hin, Hout=Hout, eps=eps)
+                    bh=bh, Hin=Hin, Hout=Hout, eps=eps, relu_k=relu_k)
 
 
 def _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
                     st0_ref, st1_ref, st2_ref,
-                    gyk_ref, sums_ref, dk_ref, *, bh, Hin, Hout, eps):
+                    gyk_ref, sums_ref, dk_ref, *, bh, Hin, Hout, eps,
+                    relu_k=True):
     i, j = pl.program_id(0), pl.program_id(1)
     gy = gy.astype(jnp.float32)                     # (bh+1, C, Wout)
     an = an.astype(jnp.float32)
@@ -831,8 +836,10 @@ def _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
     re = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0) + j * bh
     m_e = (2 * re) < Hin
     m_o = (2 * re + 1) < Hin
-    gu_e = jnp.where(m_e, even * ((u_e > 0.0) & (u_e < 6.0)), 0.0)
-    gu_o = jnp.where(m_o, odd * ((u_o > 0.0) & (u_o < 6.0)), 0.0)
+    gu_e = jnp.where(m_e, even * (_act_grad(u_e, relu_k)
+                                  if relu_k else 1.0), 0.0)
+    gu_o = jnp.where(m_o, odd * (_act_grad(u_o, relu_k)
+                                 if relu_k else 1.0), 0.0)
     xh_e = jnp.where(m_e, xh_e, 0.0)
     xh_o = jnp.where(m_o, xh_o, 0.0)
     gyk_ref[0, :, 0:C] = gu_e.astype(gyk_ref.dtype)
@@ -854,8 +861,7 @@ def _dw_s2_bwd_body(gy, an, akp, pn_ref, bnk_ref, k_ref,
         uu, _ = _bn_u_xh(rows, bnk, eps)
         rr = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
         gr = 2 * (rr + j * bh) + first
-        hh = jnp.where((gr >= 0) & (gr < Hin),
-                       jnp.clip(uu, 0.0, 6.0), 0.0)
+        hh = jnp.where((gr >= 0) & (gr < Hin), _act(uu, relu_k), 0.0)
         for dw in range(3):
             v = jnp.sum(hh * T[dw][0:bh].astype(jnp.float32), axis=(0, 2))
             dk_tile += jnp.where(col == dh * 3 + dw, v[:, None], 0.0)
@@ -941,7 +947,7 @@ def _run_dw_bwd(gy, a_next, a_k, pn, bnk, k, H, W, eps, interpret, gdt,
 
 
 def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, Win, eps, interpret,
-                   gdt, n_img=1, bh=BH):
+                   gdt, n_img=1, bh=BH, relu_k=True):
     """Stride-2 dw backward. gy/a_next (N,R2,C,Wout_p) padded;
     a_k (N,R,C,Wp) padded; Win = real input lane extent. Returns
     (gy_k (N,R,C,Wp) padded in pair-block writes, sums (C,2), dk (C,9))."""
@@ -958,7 +964,7 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, Win, eps, interpret,
           for s in _sel_matrices(wseg_in, wseg_out, win, wout, n_img)]
     if _dma_enabled():
         kern = functools.partial(_k_dw_s2_bwd_dma, bh=bh, Hin=Hin, Hout=hout,
-                                 eps=eps)
+                                 eps=eps, relu_k=relu_k)
         win_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
         scratch = [pltpu.VMEM((2, bh + 1, c, wout), gy.dtype),
                    pltpu.VMEM((2, bh + 1, c, wout), a_next.dtype),
@@ -968,7 +974,7 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, Win, eps, interpret,
                    pltpu.SemaphoreType.DMA((2,))]
     else:
         kern = functools.partial(_k_dw_s2_bwd, bh=bh, Hin=Hin, Hout=hout,
-                                 eps=eps)
+                                 eps=eps, relu_k=relu_k)
         halo_g = pl.BlockSpec(
             (pl.Element(1), pl.Element(bh + 1), pl.Element(c),
              pl.Element(wout)),

@@ -837,3 +837,208 @@ def fused_x_tail_eval(x_nhwc, exit_block, exit_seps, dil: int = 2,
     z = _run_seg_eval(z, tuple(exit_seps), dil, (False, True, True),
                       None, True, H, n * w, w, dt, interpret, bh)
     return _unfold(z, n, H, w)
+
+
+# ---------------------------------------------------------------------------
+# Entry flow blocks: sep1 (s1) -> sep2 (s1) -> sep3 (STRIDE 2) + 1x1/s2
+# skip. Training mode; the stride-2 dw rides the stem's pair-view +
+# block-diagonal selection-matmul machinery (irchain's f4 pattern), the
+# skip branch runs in XLA on NHWC (strided slice + matmul + train BN).
+# ---------------------------------------------------------------------------
+
+from .stem import _geom as _stem_geom
+from .stem import _run_bn_dw_s2, _run_dw_s2_bwd
+
+BH_XT_S2B = int(os.environ.get("KDCC_XENTRY_BH_S2B", "2"))
+
+
+def _entry_fwd(x_nhwc, p, act1, eps, interpret, axis=None, nsh=1):
+    n, H, w, cin = x_nhwc.shape
+    _, H2, _, R, R2 = _stem_geom(H)
+    NW = n * w
+    w2seg = (w + 1) // 2
+    NW2 = n * w2seg
+    dt = x_nhwc.dtype
+    M = float(H * NW) * nsh
+
+    x0 = _fold(x_nhwc, R)
+    acts, stats = [x0], []
+    a_entry, entry_bn, act = x0, _identity_bn_eps(cin, eps), act1
+    for i in range(3):
+        if i < 2:
+            aD, mD, vD = _run_bn_dw(a_entry, entry_bn, p[f"k{i}"], H, NW,
+                                    act, eps, interpret, dt, axis, nsh,
+                                    wseg=w, bh=BH_XT)
+            Ho, NWo = H, NW
+        else:
+            aD, mD, vD = _run_bn_dw_s2(a_entry, entry_bn, p[f"k{i}"], H, NW,
+                                       R2, eps, interpret, dt, axis, nsh,
+                                       n_img=n, bh=BH_XT, relu=act)
+            Ho, NWo = H2, NW2
+        aP, mP, vP = _run_bn_pw(aD, _bn_pack(mD, vD, p[f"gd{i}"],
+                                             p[f"bd{i}"]),
+                                p[f"w{i}"], Ho, NWo, False, eps, interpret,
+                                dt, axis, nsh, bh=BH_XT)
+        acts += [aD, aP]
+        stats += [(mD, vD), (mP, vP)]
+        a_entry = aP
+        entry_bn = _bn_pack(mP, vP, p[f"gp{i}"], p[f"bp{i}"])
+        act = "relu"
+
+    main = _affine(acts[-1], stats[-1][0], stats[-1][1], p["gp2"], p["bp2"],
+                   eps).astype(dt)
+    # skip: 1x1/s2 conv + train BN, plain XLA on NHWC (x[::2, ::2])
+    g_psum = ((lambda u: jax.lax.psum(u, axis)) if axis is not None
+              else (lambda u: u))
+    xs = x_nhwc[:, ::2, ::2, :].astype(jnp.float32)
+    s = jnp.einsum("nhwc,oc->nhwo", xs, p["wsk"].astype(jnp.float32))
+    cnt = float(xs.shape[0] * xs.shape[1] * xs.shape[2]) * nsh
+    ms = g_psum(s.sum(axis=(0, 1, 2))) / cnt
+    vs = g_psum((s * s).sum(axis=(0, 1, 2))) / cnt - ms * ms
+    sk = ((s - ms) * jax.lax.rsqrt(vs + eps) * p["gsk"] + p["bsk"])
+    out = _unfold(main, n, H2, w2seg) + sk.astype(dt)
+    return out, stats + [(ms, vs)], (acts, s)
+
+
+def _entry_bwd(p, act1, stats, acts_s, x_shape, g, eps, interpret,
+               axis=None, nsh=1):
+    acts, s = acts_s
+    n, H, w, cin = x_shape
+    _, H2, _, R, R2 = _stem_geom(H)
+    NW = n * w
+    w2seg = (w + 1) // 2
+    NW2 = n * w2seg
+    dt = acts[0].dtype
+    M = float(H * NW) * nsh
+    M2 = float(H2 * NW2) * nsh
+    g_psum = ((lambda u: jax.lax.psum(u, axis)) if axis is not None
+              else (lambda u: u))
+    dp = {}
+
+    gf = g.astype(jnp.float32)
+    # skip branch backward (XLA, NHWC): bn_skip train backward
+    ms, vs = stats[6]
+    inv = jax.lax.rsqrt(vs + eps)
+    xh = (s - ms) * inv
+    sg = g_psum(gf.sum(axis=(0, 1, 2)))
+    sgx = g_psum((gf * xh).sum(axis=(0, 1, 2)))
+    cnt = float(s.shape[0] * s.shape[1] * s.shape[2]) * nsh
+    gs = (p["gsk"] * inv) * (gf - sg / cnt - xh * (sgx / cnt))
+    dp["gsk"] = sgx
+    dp["bsk"] = sg
+    # main branch: fold g, bnP3 backward at the low-res geometry
+    gmain = _fold(g, R2)
+    aP3 = acts[6]
+    mP3, vP3 = stats[5]
+    Gm = jnp.where(_valid_mask(gmain.shape, H2, NW2),
+                   gmain.astype(jnp.float32), 0.0)
+    invP = jax.lax.rsqrt(vP3 + eps)
+    xhP = jnp.where(
+        _valid_mask(aP3.shape, H2, NW2),
+        (aP3.astype(jnp.float32) - mP3[None, None, :, None])
+        * invP[None, None, :, None], 0.0)
+    sgm = g_psum(Gm.sum(axis=(0, 1, 3)))
+    sgxm = g_psum((Gm * xhP).sum(axis=(0, 1, 3)))
+    gy = ((p["gp2"] * invP)[None, None, :, None]
+          * (Gm - (sgm / M2)[None, None, :, None]
+             - xhP * (sgxm / M2)[None, None, :, None])).astype(dt)
+    dp["gp2"] = sgxm
+    dp["bp2"] = sgm
+    pn = _bnbwd_identity(p["w2"].shape[0])
+
+    for i in reversed(range(3)):
+        aD, aP = acts[2 * i + 1], acts[2 * i + 2]
+        (mD, vD), (mP, vP) = stats[2 * i], stats[2 * i + 1]
+        Ho, NWo, Mo = (H2, NW2, M2) if i == 2 else (H, NW, M)
+        bnD = _bn_pack(mD, vD, p[f"gd{i}"], p[f"bd{i}"])
+        gyD, sD, dW = _run_pw_bwd(gy, aP, aD, pn, bnD, p[f"w{i}"],
+                                  Ho, NWo, False, eps, interpret, dt,
+                                  bh=BH_XT)
+        sD = g_psum(sD)
+        dp[f"w{i}"] = dW
+        dp[f"gd{i}"] = sD[:, 1]
+        dp[f"bd{i}"] = sD[:, 0]
+        pnD = _bnbwd_pack(mD, vD, p[f"gd{i}"], sD[:, 0], sD[:, 1], Mo)
+        if i == 0:
+            entry_bn = _identity_bn_eps(cin, eps)
+            act = act1
+        else:
+            mE, vE = stats[2 * i - 1]
+            entry_bn = _bn_pack(mE, vE, p[f"gp{i - 1}"], p[f"bp{i - 1}"])
+            act = "relu"
+        if i == 2:
+            gy, sE, dk = _run_dw_s2_bwd(gyD, aD, acts[2 * i], pnD, entry_bn,
+                                        p[f"k{i}"], H, NW, eps, interpret,
+                                        dt, n_img=n, bh=BH_XT_S2B,
+                                        relu_k=act)
+        else:
+            gy, sE, dk = _run_dw_bwd(gyD, aD, acts[2 * i], pnD, entry_bn,
+                                     p[f"k{i}"], H, NW, eps, interpret, dt,
+                                     wseg=w, bh=BH_XT, relu_k=act)
+        sE = g_psum(sE)
+        dp[f"k{i}"] = dk
+        if i > 0:
+            dp[f"gp{i - 1}"] = sE[:, 1]
+            dp[f"bp{i - 1}"] = sE[:, 0]
+            # bnP_{i-1} lives at conv i's INPUT resolution — full-res for
+            # every entry conv (only conv 2's OUTPUT is low-res)
+            pn = _bnbwd_pack(stats[2 * i - 1][0], stats[2 * i - 1][1],
+                             p[f"gp{i - 1}"], sE[:, 0], sE[:, 1], M)
+
+    dx = _unfold(gy, n, H, w).astype(jnp.float32)
+    # skip transpose: dx[::2, ::2] += gs @ Wsk; dWsk = sum gs . xs
+    dxs = jnp.einsum("nhwo,oc->nhwc", gs, p["wsk"].astype(jnp.float32))
+    dx = dx.at[:, ::2, ::2, :].add(dxs)
+    # dWsk needs xs = x[::2, ::2]; x is acts[0] folded — unfold it
+    x_rec = _unfold(acts[0], n, H, w).astype(jnp.float32)
+    dp["wsk"] = g_psum(jnp.einsum("nhwo,nhwc->oc", gs,
+                                  x_rec[:, ::2, ::2, :]))
+
+    wk = [k for k in dp if k[0] in "wk"]
+    if axis is not None:
+        for k, v in zip(wk, jax.lax.psum(tuple(dp[k] for k in wk), axis)):
+            dp[k] = v
+    return dx.astype(dt), {k: v.astype(p[k].dtype) for k, v in dp.items()}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_x_entry_block_train(x_nhwc, params, act1, eps: float = 1e-5,
+                              interpret: bool = False):
+    """One Xception entry block (sep1/sep2 stride-1, sep3 stride-2, 1x1/s2
+    skip with its own train BN), training mode. act1 = sep1's pre-act
+    ('relu', or False for block1's first_relu=False). Returns (out NHWC at
+    (H+1)//2, stats: 6 conv (mean, var) pairs + the skip pair)."""
+    out, stats, _ = _entry_fwd(x_nhwc, params, act1, eps, interpret)
+    return out, tuple(stats)
+
+
+def _xe_fwd_rule(x_nhwc, params, act1, eps, interpret):
+    out, stats, acts_s = _entry_fwd(x_nhwc, params, act1, eps, interpret)
+    return (out, tuple(stats)), (params, stats, acts_s, x_nhwc.shape)
+
+
+def _xe_bwd_rule(act1, eps, interpret, res, cts):
+    p, stats, acts_s, x_shape = res
+    return _entry_bwd(p, act1, stats, acts_s, x_shape, cts[0], eps,
+                      interpret)
+
+
+fused_x_entry_block_train.defvjp(_xe_fwd_rule, _xe_bwd_rule)
+
+
+def entry_block_params(blk):
+    p = {}
+    for i, s in enumerate((blk.sep1, blk.sep2, blk.sep3)):
+        sep = s.sep
+        kv = sep.depthwise.kernel[...]
+        c = kv.shape[3]
+        p[f"k{i}"] = jnp.transpose(kv[:, :, 0, :], (2, 0, 1)).reshape(c, 9)
+        p[f"w{i}"] = sep.pointwise.kernel[...][0, 0].T
+        p[f"gd{i}"] = sep.bn_dw.scale[...]
+        p[f"bd{i}"] = sep.bn_dw.bias[...]
+        p[f"gp{i}"] = s.bn.scale[...]
+        p[f"bp{i}"] = s.bn.bias[...]
+    p["wsk"] = blk.skip_conv.kernel[...][0, 0].T
+    p["gsk"] = blk.skip_bn.scale[...]
+    p["bsk"] = blk.skip_bn.bias[...]
+    return p

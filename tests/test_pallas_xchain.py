@@ -352,3 +352,77 @@ def test_xmid_train_dilated():
         np.testing.assert_allclose(np.asarray(g1[1][key]),
                                    np.asarray(g2[1][key]),
                                    rtol=2e-3, atol=2e-3, err_msg=f"d {key}")
+
+
+def test_xentry_block_train():
+    """Entry block (sep1/sep2 s1, sep3 STRIDE-2, 1x1/s2 skip) fused train
+    chain vs stock: forward vs the real module, grads vs a pure-jnp
+    reference — odd and even inputs, first_relu both ways."""
+    from kd_cheap_conv_tpu.ops.pallas.xchain import (
+        entry_block_params, fused_x_entry_block_train)
+
+    def ref_block(x, p, act1):
+        def bn(a, g, b):
+            mu = a.mean(axis=(0, 1, 2))
+            var = (a * a).mean(axis=(0, 1, 2)) - mu * mu
+            return (a - mu) * jax.lax.rsqrt(var + EPS) * g + b
+
+        h = x
+        for i, stride in ((0, 1), (1, 1), (2, 2)):
+            if (act1 if i == 0 else "relu") == "relu":
+                h = jnp.maximum(h, 0.0)
+            c = p[f"k{i}"].shape[0]
+            kv = p[f"k{i}"].reshape(c, 3, 3).transpose(1, 2, 0)[:, :, None]
+            aD = depthwise_conv2d(h, kv, stride=stride, padding=1)
+            h = bn(aD, p[f"gd{i}"], p[f"bd{i}"])
+            aP = conv2d(h, p[f"w{i}"].T[None, None])
+            h = bn(aP, p[f"gp{i}"], p[f"bp{i}"])
+        sk = bn(jnp.einsum("nhwc,oc->nhwo", x[:, ::2, ::2, :], p["wsk"]),
+                p["gsk"], p["bsk"])
+        return h + sk
+
+    for H, W, first_relu in ((11, 13, True), (12, 16, False)):
+        blk = XceptionBlock(16, (16, 24, 24), stride=2,
+                            first_relu=first_relu, rngs=nnx.Rngs(7))
+        for s in (blk.sep1, blk.sep2, blk.sep3):
+            c = s.sep.depthwise.kernel[...].shape[3]
+            s.sep.depthwise.kernel[...] = jnp.asarray(
+                RNG.randn(3, 3, 1, c).astype(np.float32) * 0.4)
+            kv = s.sep.pointwise.kernel[...]
+            s.sep.pointwise.kernel[...] = jnp.asarray(
+                RNG.randn(*kv.shape).astype(np.float32) * 0.3)
+        p = entry_block_params(blk)
+        act1 = "relu" if first_relu else False
+        x = jnp.asarray(RNG.randn(2, H, W, 16), jnp.float32)
+        got, stats = fused_x_entry_block_train(x, p, act1, EPS, True)
+        want = blk(x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"H{H} fr{first_relu}")
+        assert len(stats) == 7
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref_block(x, p, act1)),
+            rtol=2e-4, atol=2e-4)
+
+        w_ = jnp.asarray(RNG.randn(*want.shape), jnp.float32)
+
+        def f_fused(x, p):
+            out, _ = fused_x_entry_block_train(x, p, act1, EPS, True)
+            return jnp.sum(out.astype(jnp.float32) * w_)
+
+        def f_ref(x, p):
+            return jnp.sum(ref_block(x, p, act1) * w_)
+
+        np.testing.assert_allclose(float(f_fused(x, p)),
+                                   float(f_ref(x, p)), rtol=1e-4)
+        g1 = jax.grad(f_fused, argnums=(0, 1))(x, p)
+        g2 = jax.grad(f_ref, argnums=(0, 1))(x, p)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                                   rtol=2e-3, atol=2e-4,
+                                   err_msg=f"dx H{H}")
+        for key in sorted(p):
+            np.testing.assert_allclose(np.asarray(g1[1][key]),
+                                       np.asarray(g2[1][key]),
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"d {key} H{H}")
