@@ -163,16 +163,21 @@ class Xception65(nnx.Module):
         except (AttributeError, TypeError):
             return False
 
-    def _call_fused_entry(self, x, blk):
+    def _call_fused_entry(self, x, blk, mesh=None):
         from .. import config
         from ..ops.pallas.xchain import (entry_block_params,
-                                         fused_x_entry_block_train)
+                                         fused_x_entry_block_train,
+                                         fused_x_entry_block_train_sharded)
 
         p = entry_block_params(blk)
         act1 = "relu" if blk.sep1.pre_relu else False
         eps = float(blk.sep1.sep.bn_dw.epsilon)
-        out, stats = fused_x_entry_block_train(
-            x, p, act1, eps, config.pallas_interpret_mode())
+        if mesh is not None:
+            out, stats = fused_x_entry_block_train_sharded(
+                x, p, mesh, act1, eps, config.pallas_interpret_mode())
+        else:
+            out, stats = fused_x_entry_block_train(
+                x, p, act1, eps, config.pallas_interpret_mode())
         bns = []
         for s in (blk.sep1, blk.sep2, blk.sep3):
             bns += [s.sep.bn_dw, s.bn]
@@ -299,10 +304,15 @@ class Xception65(nnx.Module):
     def _run_entry_block(self, x, blk):
         import jax
 
-        # no sharded variant yet: single-device only (the KD-step batch is
-        # unsharded on one chip; multi-device falls back to stock)
-        if jax.device_count() == 1 and self._fused_entry_ok(blk):
+        from .. import config
+
+        if not self._fused_entry_ok(blk):
+            return blk(x)
+        if jax.device_count() == 1:
             return self._call_fused_entry(x, blk)
+        mesh = config.active_mesh()
+        if mesh is not None and x.shape[0] % mesh.devices.size == 0:
+            return self._call_fused_entry(x, blk, mesh)
         return blk(x)
 
     def __call__(self, x):

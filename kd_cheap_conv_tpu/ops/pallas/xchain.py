@@ -991,8 +991,8 @@ def _entry_bwd(p, act1, stats, acts_s, x_shape, g, eps, interpret,
     dx = dx.at[:, ::2, ::2, :].add(dxs)
     # dWsk needs xs = x[::2, ::2]; x is acts[0] folded — unfold it
     x_rec = _unfold(acts[0], n, H, w).astype(jnp.float32)
-    dp["wsk"] = g_psum(jnp.einsum("nhwo,nhwc->oc", gs,
-                                  x_rec[:, ::2, ::2, :]))
+    # NOT psum'd here: the weight-grad sweep below covers every 'w*'/'k*'
+    dp["wsk"] = jnp.einsum("nhwo,nhwc->oc", gs, x_rec[:, ::2, ::2, :])
 
     wk = [k for k in dp if k[0] in "wk"]
     if axis is not None:
@@ -1042,3 +1042,52 @@ def entry_block_params(blk):
     p["gsk"] = blk.skip_bn.scale[...]
     p["bsk"] = blk.skip_bn.bias[...]
     return p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_x_entry_block_train_sharded(x_nhwc, params, mesh, act1,
+                                      eps: float = 1e-5,
+                                      interpret: bool = False):
+    """fused_x_entry_block_train over a batch-sharded x (params
+    replicated); BN stats are GLOBAL batch moments (sync-BN)."""
+    (y, _) = _sh_xe_fwd(x_nhwc, params, mesh, act1, eps, interpret)
+    return y
+
+
+def _sh_xe_fwd(x_nhwc, params, mesh, act1, eps, interpret):
+    global _sharded_xm_traces
+    _sharded_xm_traces += 1
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+
+    def local(x, p):
+        out, stats, acts_s = _entry_fwd(x, p, act1, eps, interpret, axis,
+                                        nsh)
+        return out, tuple(stats), stats, acts_s
+
+    out, flat, stats, acts_s = _shmap(local, mesh, (Pd, Pr),
+                                      (Pd, Pr, Pr, Pd))(x_nhwc, params)
+    return ((out, flat), (params, stats, acts_s, x_nhwc.shape))
+
+
+def _sh_xe_fwd_rule(x_nhwc, params, mesh, act1, eps, interpret):
+    return _sh_xe_fwd(x_nhwc, params, mesh, act1, eps, interpret)
+
+
+def _sh_xe_bwd_rule(mesh, act1, eps, interpret, res, cts):
+    p, stats, acts_s, x_shape = res
+    n, H, w, cin = x_shape
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+
+    def local(p, stats, acts_s, g):
+        n_loc = g.shape[0]
+        return _entry_bwd(p, act1, stats, acts_s, (n_loc, H, w, cin), g,
+                          eps, interpret, axis, nsh)
+
+    dx, dp = _shmap(local, mesh, (Pr, Pr, Pd, Pd), (Pd, Pr))(
+        p, stats, acts_s, cts[0])
+    return dx, dp
+
+
+fused_x_entry_block_train_sharded.defvjp(_sh_xe_fwd_rule, _sh_xe_bwd_rule)

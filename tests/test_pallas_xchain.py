@@ -426,3 +426,37 @@ def test_xentry_block_train():
                                        np.asarray(g2[1][key]),
                                        rtol=2e-3, atol=2e-3,
                                        err_msg=f"d {key} H{H}")
+
+
+def test_xentry_sharded_matches_unsharded():
+    from jax.sharding import Mesh
+
+    from kd_cheap_conv_tpu.ops.pallas.xchain import (
+        entry_block_params, fused_x_entry_block_train,
+        fused_x_entry_block_train_sharded)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    blk = XceptionBlock(16, (16, 24, 24), stride=2, rngs=nnx.Rngs(7))
+    p = entry_block_params(blk)
+    x = jnp.asarray(RNG.randn(8, 9, 11, 16), jnp.float32)
+    w = jnp.asarray(RNG.randn(8, 5, 6, 24), jnp.float32)
+
+    def f_sh(x, p):
+        out, _ = fused_x_entry_block_train_sharded(x, p, mesh, "relu",
+                                                   EPS, True)
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    def f1(x, p):
+        out, _ = fused_x_entry_block_train(x, p, "relu", EPS, True)
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    np.testing.assert_allclose(float(f_sh(x, p)), float(f1(x, p)),
+                               rtol=1e-4)
+    gs = jax.grad(f_sh, argnums=(0, 1))(x, p)
+    g1 = jax.grad(f1, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(g1[0]),
+                               rtol=5e-4, atol=5e-5)
+    for key in sorted(p):
+        np.testing.assert_allclose(np.asarray(gs[1][key]),
+                                   np.asarray(g1[1][key]),
+                                   rtol=5e-4, atol=5e-5, err_msg=f"d {key}")
