@@ -39,8 +39,14 @@ class SyntheticSegmentation:
             void = gen.random((h // 32 + 1, w // 32 + 1)) < self.void_fraction
             voidmap = np.kron(void, np.ones((32, 32), dtype=bool))[:h, :w]
             lbl = np.where(voidmap, self.ignore_index, lbl)
-        # image = class-colored base + noise texture
-        palette = np.random.default_rng(self.seed).integers(
+        # image = class-colored base + noise texture. The palette is the
+        # TASK SEMANTICS (the color -> class mapping a model must learn),
+        # so it is fixed independently of `seed`: train/val splits built
+        # with different seeds share it, like real datasets share their
+        # class semantics. (Seeding it per split made val a different,
+        # unlearnable task — val mIoU stayed at chance no matter how well
+        # the train loop worked.)
+        palette = np.random.default_rng(0x5EED).integers(
             0, 255, (max(self.num_classes, 256), 3))
         img = palette[np.where(lbl == self.ignore_index, 0, lbl)]
         img = img + gen.normal(0, 20, (h, w, 3))
