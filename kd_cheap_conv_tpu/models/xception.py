@@ -145,8 +145,7 @@ class Xception65(nnx.Module):
             return False
         try:
             if (blk.skip_conv is None or blk.skip_conv.stride != (2, 2)
-                    or blk.skip_conv.kernel_size != (1, 1)
-                    or blk.sep1.sep.bn_dw.use_running_average):
+                    or blk.skip_conv.kernel_size != (1, 1)):
                 return False
             for s, stride in ((blk.sep1, (1, 1)), (blk.sep2, (1, 1)),
                               (blk.sep3, (2, 2))):
@@ -308,6 +307,15 @@ class Xception65(nnx.Module):
 
         if not self._fused_entry_ok(blk):
             return blk(x)
+        if blk.sep1.sep.bn_dw.use_running_average:
+            from ..ops.pallas.xchain import fused_x_entry_block_eval
+            from .layers import maybe_shard_eval
+
+            interp = config.pallas_interpret_mode()
+            fn = maybe_shard_eval(
+                lambda t: fused_x_entry_block_eval(t, blk, interp),
+                x.shape[0])
+            return blk(x) if fn is None else fn(x)
         if jax.device_count() == 1:
             return self._call_fused_entry(x, blk)
         mesh = config.active_mesh()

@@ -1091,3 +1091,50 @@ def _sh_xe_bwd_rule(mesh, act1, eps, interpret, res, cts):
 
 
 fused_x_entry_block_train_sharded.defvjp(_sh_xe_fwd_rule, _sh_xe_bwd_rule)
+
+
+def fused_x_entry_block_eval(x_nhwc, blk, interpret: bool = False):
+    """Entry block in eval mode: the same dw/pw Pallas passes as the train
+    chain but with RUNNING-stat BN packs (emitted batch moments are
+    ignored). Forward-only — the config-#3 teacher and TTA path."""
+    n, H, w, cin = x_nhwc.shape
+    _, H2, _, R, R2 = _stem_geom(H)
+    NW = n * w
+    w2seg = (w + 1) // 2
+    dt = x_nhwc.dtype
+    eps = float(blk.sep1.sep.bn_dw.epsilon)
+
+    def rs_pack(bn):
+        return _bn_pack(bn.mean[...], bn.var[...], bn.scale[...],
+                        bn.bias[...])
+
+    seps = (blk.sep1, blk.sep2, blk.sep3)
+    x0 = _fold(x_nhwc, R)
+    a_entry = x0
+    entry_bn = _identity_bn_eps(cin, eps)
+    act = "relu" if blk.sep1.pre_relu else False
+    for i, s in enumerate(seps):
+        kv = s.sep.depthwise.kernel[...]
+        c = kv.shape[3]
+        k = jnp.transpose(kv[:, :, 0, :], (2, 0, 1)).reshape(c, 9)
+        wp = s.sep.pointwise.kernel[...][0, 0].T
+        if i < 2:
+            aD, _, _ = _run_bn_dw(a_entry, entry_bn, k, H, NW, act, eps,
+                                  interpret, dt, wseg=w, bh=BH_XT)
+            Ho, NWo = H, NW
+        else:
+            aD, _, _ = _run_bn_dw_s2(a_entry, entry_bn, k, H, NW, R2, eps,
+                                     interpret, dt, n_img=n, bh=BH_XT,
+                                     relu=act)
+            Ho, NWo = H2, n * w2seg
+        aP, _, _ = _run_bn_pw(aD, rs_pack(s.sep.bn_dw), wp, Ho, NWo, False,
+                              eps, interpret, dt, bh=BH_XT)
+        a_entry = aP
+        entry_bn = rs_pack(s.bn)
+        act = "relu"
+
+    bn3 = blk.sep3.bn
+    main = _affine(a_entry, bn3.mean[...], bn3.var[...], bn3.scale[...],
+                   bn3.bias[...], eps).astype(dt)
+    sk = blk.skip_bn(blk.skip_conv(x_nhwc))
+    return _unfold(main, n, H2, w2seg) + sk.astype(dt)

@@ -460,3 +460,49 @@ def test_xentry_sharded_matches_unsharded():
         np.testing.assert_allclose(np.asarray(gs[1][key]),
                                    np.asarray(g1[1][key]),
                                    rtol=5e-4, atol=5e-5, err_msg=f"d {key}")
+
+
+def test_xentry_eval_matches_stock():
+    """Eval-mode entry block (running-stat packs through the same passes):
+    parity vs the stock module, via the shard-wrapped dispatch on the
+    8-device mesh and unsharded kernel directly."""
+    from jax.sharding import Mesh
+
+    from kd_cheap_conv_tpu import config
+    from kd_cheap_conv_tpu.ops.pallas.xchain import fused_x_entry_block_eval
+
+    blk = XceptionBlock(16, (16, 24, 24), stride=2, rngs=nnx.Rngs(7))
+    for s in (blk.sep1, blk.sep2, blk.sep3):
+        for bn in (s.sep.bn_dw, s.bn):
+            c = bn.mean[...].shape[0]
+            bn.mean[...] = jnp.asarray(0.3 * RNG.randn(c).astype(np.float32))
+            bn.var[...] = jnp.asarray((1 + 0.5 * RNG.rand(c)).astype(
+                np.float32))
+    blk.eval()
+    x = jnp.asarray(RNG.randn(8, 11, 13, 16), jnp.float32)
+    want = blk(x)
+    got = fused_x_entry_block_eval(x, blk, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # model dispatch with an active mesh: shard-wrapped eval path
+    from kd_cheap_conv_tpu.models.xception import Xception65
+
+    m = Xception65(output_stride=16, rngs=nnx.Rngs(0))
+    m.eval()
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    xi = jnp.asarray(np.random.RandomState(6).randn(8, 65, 65, 3),
+                     jnp.float32)
+    old = config.use_pallas_xception_middle
+    try:
+        config.use_pallas_xception_middle = False
+        want = m(xi)
+        config.use_pallas_xception_middle = True
+        config.set_active_mesh(mesh)
+        got = m(xi)
+    finally:
+        config.use_pallas_xception_middle = old
+        config.set_active_mesh(None)
+    for k in ("low_level", "out"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=5e-4, atol=5e-3, err_msg=k)
