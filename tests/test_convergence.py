@@ -45,3 +45,46 @@ def test_synthetic_convergence_miou(tmp_path, capsys):
     # untrained mIoU on this 6-class task measures ~0.02-0.08; a correct
     # 220-step run reaches well past this bound (observed ~0.5+)
     assert best >= 0.35, f"val mIoU {best} did not converge (bound 0.35)"
+
+
+@pytest.mark.slow
+def test_kd_convergence_miou(tmp_path, capsys):
+    """KD learning dynamics end-to-end (the contract's KD axis): train a
+    teacher on the synthetic task, then distill a cheap-conv student from
+    its checkpoint — the STUDENT's val mIoU must rise well past chance
+    through the full KD CLI path (teacher ckpt load, KD loss, adapters)."""
+    common = [
+        "--dataset", "synthetic",
+        "--num_classes", "6",
+        "--crop_size", "65",
+        "--batch_size", "8",
+        "--val_batch_size", "8",
+        "--total_itrs", "220",
+        "--val_interval", "220",
+        "--print_interval", "100",
+        "--lr", "0.06",
+        "--weight_decay", "0.0001",
+        "--num_workers", "2",
+    ]
+    t_ckpt = tmp_path / "teacher"
+    assert cli.main(common + [
+        "--model", "deeplabv3plus_mobilenet",
+        "--ckpt_dir", str(t_ckpt),
+    ]) == 0
+    out = capsys.readouterr().out
+    t_best = float(re.search(r"Best Mean IoU: ([0-9.]+)", out).group(1))
+    assert t_best >= 0.35, f"teacher did not converge: {t_best}"
+
+    latest = next(p for p in (t_ckpt).iterdir() if "latest" in p.name)
+    assert cli.main(common + [
+        "--model", "deeplabv3plus_mobilenet",
+        "--kd",
+        "--teacher_model", "deeplabv3plus_mobilenet",
+        "--teacher_ckpt", str(latest),
+        "--kd_temperature", "4", "--kd_alpha", "0.5", "--kd_beta", "0.5",
+        "--replace_scope", "classifier",
+        "--ckpt_dir", str(tmp_path / "student"),
+    ]) == 0
+    out = capsys.readouterr().out
+    s_best = float(re.search(r"Best Mean IoU: ([0-9.]+)", out).group(1))
+    assert s_best >= 0.3, f"KD student did not converge: {s_best}"
