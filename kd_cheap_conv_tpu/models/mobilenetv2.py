@@ -271,8 +271,10 @@ class MobileNetV2(nnx.Module):
         kernels (ops.pallas.irchain.fused_mnv2_blocks_eval); stride-2
         blocks and the entry conv run stock."""
         from .. import config
-        from ..ops.pallas.irchain import (fused_mnv2_blocks_eval,
-                                          ir_block_fusable)
+        from ..ops.pallas.irchain import (fused_ir_block_s2_eval,
+                                          fused_mnv2_blocks_eval,
+                                          ir_block_fusable,
+                                          ir_block_s2_fusable)
         from .layers import maybe_shard_eval
 
         interp = config.pallas_interpret_mode()
@@ -297,6 +299,12 @@ class MobileNetV2(nnx.Module):
         for i, m in enumerate(self.features):
             if i > 0 and ir_block_fusable(m):
                 run.append(m)
+            elif i > 0 and ir_block_s2_fusable(m):
+                x = flush(x)
+                fn = maybe_shard_eval(
+                    lambda t, f=m: fused_ir_block_s2_eval(t, f, interp),
+                    x.shape[0])
+                x = m(x) if fn is None else fn(x)
             else:
                 x = flush(x)
                 x = m(x)

@@ -495,3 +495,60 @@ def fused_mnv2_blocks_eval(x_nhwc, blocks, interpret: bool = False,
             interpret=interpret, compiler_params=_CP,
         )(z, *consts)
     return _nw_to_nhwc(z, n, H, w)
+
+
+def fused_ir_block_s2_eval(x_nhwc, f, interpret: bool = False):
+    """A stride-2 InvertedResidual in eval mode via the BN-barrier pass
+    runners with RUNNING-stat packs (batch moments ignored): expand pw ->
+    relu6 -> dw3x3 s2 -> relu6 -> project pw -> affine. Forward-only."""
+    from .stem import _geom as _sgeom
+    from .stem import _run_bn_dw_s2
+
+    n, H, w, cin = x_nhwc.shape
+    _, H2, _, R, R2 = _sgeom(H)
+    NW = n * w
+    w2seg = (w + 1) // 2
+    dt = x_nhwc.dtype
+    eps = float(f.pw_bn.epsilon)
+
+    def rs_pack(bn):
+        return _bn_pack(bn.mean[...], bn.var[...], bn.scale[...],
+                        bn.bias[...])
+
+    x0 = _nhwc_to_nw(x_nhwc, R)
+    expand = len(f.body) == 2
+    if expand:
+        e = f.body[0]
+        we = e.conv.kernel[...][0, 0].T
+        aE, _, _ = _run_bn_pw(x0, _identity_bn_eps(cin, eps), we, H, NW,
+                              False, eps, interpret, dt, bh=BH_IR)
+        entry_bn = rs_pack(e.bn)
+    else:
+        aE, entry_bn = x0, _identity_bn_eps(cin, eps)
+    d = f.body[-1]
+    kv = d.conv.kernel[...]
+    c = kv.shape[3]
+    kd = jnp.transpose(kv[:, :, 0, :], (2, 0, 1)).reshape(c, 9)
+    aD, _, _ = _run_bn_dw_s2(aE, entry_bn, kd, H, NW, R2, eps, interpret,
+                             dt, n_img=n, bh=BH_IR, relu=True)
+    wp = f.pw_linear.kernel[...][0, 0].T
+    aP, _, _ = _run_bn_pw(aD, rs_pack(d.bn), wp, H2, n * w2seg, True, eps,
+                          interpret, dt, bh=BH_IR)
+    bn = f.pw_bn
+    out = _affine(aP, bn.mean[...], bn.var[...], bn.scale[...],
+                  bn.bias[...], eps).astype(dt)
+    return _nw_to_nhwc(out, n, H2, w2seg)
+
+
+def ir_block_s2_fusable(f) -> bool:
+    try:
+        d = f.body[-1].conv
+        return (d.kernel_size == (3, 3) and d.stride == (2, 2)
+                and d.dilation == (1, 1) and d.groups == d.in_channels
+                and d.bias is None and not f.use_res_connect
+                and f.pw_linear.kernel_size == (1, 1)
+                and f.pw_linear.bias is None
+                and (len(f.body) == 1
+                     or f.body[0].conv.kernel_size == (1, 1)))
+    except AttributeError:
+        return False

@@ -198,8 +198,15 @@ def test_mnv2_eval_fused_matches_stock():
         m.eval()
         return m
 
+    from jax.sharding import Mesh
+
     ref, fused = build(), build()
-    x = jnp.asarray(np.random.RandomState(4).randn(2, 65, 65, 3),
+    # batch divisible by the 8-device conftest mesh + an active mesh, so
+    # the shard-wrapped eval kernels actually engage (no mesh -> maybe_
+    # shard_eval falls back to stock and the test would compare stock to
+    # stock)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    x = jnp.asarray(np.random.RandomState(4).randn(8, 65, 65, 3),
                     jnp.float32)
     old = config.use_pallas_ir
     try:
@@ -207,10 +214,12 @@ def test_mnv2_eval_fused_matches_stock():
         assert not fused._eval_fused_active()
         want = ref(x)
         config.use_pallas_ir = True
+        config.set_active_mesh(mesh)
         assert fused._eval_fused_active()
         got = fused(x)
     finally:
         config.use_pallas_ir = old
+        config.set_active_mesh(None)
     for k in ("low_level", "out"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=5e-4, atol=5e-4, err_msg=k)

@@ -55,20 +55,29 @@ def test_rchain_model_integration():
         m.eval()
         return m
 
+    import jax
+    from jax.sharding import Mesh
+
     RNG.seed(13)
     ref = build()
     RNG.seed(13)
     fused = build()
-    x = jnp.asarray(np.random.RandomState(3).randn(2, 33, 33, 3),
+    # batch divisible by the conftest's 8-device mesh + an active mesh so
+    # the shard-wrapped eval kernels engage instead of silently falling
+    # back to stock (maybe_shard_eval returns None without a mesh)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    x = jnp.asarray(np.random.RandomState(3).randn(8, 33, 33, 3),
                     jnp.float32)
     old = config.use_pallas_resnet_eval
     try:
         config.use_pallas_resnet_eval = False
         want = ref(x)
         config.use_pallas_resnet_eval = True
+        config.set_active_mesh(mesh)
         got = fused(x)
     finally:
         config.use_pallas_resnet_eval = old
+        config.set_active_mesh(None)
     for k in ("low_level", "out"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=5e-4, atol=5e-4, err_msg=k)

@@ -197,14 +197,22 @@ def test_xmid_module_integration():
                         np.asarray(get(sf).mean[...]),
                         np.asarray(get(sr).mean[...]), rtol=1e-4, atol=1e-5)
 
-        # eval mode: folded-BN kernel
+        # eval mode: folded-BN kernels via the shard-wrapped dispatch
+        # (needs an active mesh + divisible batch under the 8-dev conftest,
+        # else maybe_shard_eval silently falls back to stock)
+        from jax.sharding import Mesh
+
         ref.eval()
         fused.eval()
         assert fused._fused_middle_mode() == "eval"
-        out_f = fused(x)["out"]
-        out_r = ref(x)["out"]
+        xe = jnp.asarray(np.random.RandomState(43).randn(8, 65, 65, 3),
+                         jnp.float32)
+        out_r = ref(xe)["out"]
+        config.set_active_mesh(Mesh(np.asarray(jax.devices()), ("data",)))
+        out_f = fused(xe)["out"]
+        config.set_active_mesh(None)
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
-                                   rtol=2e-4, atol=2e-4)
+                                   rtol=2e-4, atol=2e-3)
     finally:
         config.use_pallas_xception_middle = old
 
