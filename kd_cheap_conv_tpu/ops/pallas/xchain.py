@@ -1,5 +1,9 @@
-"""Fused Xception-65 middle flow (16 residual blocks of 3 sep-convs, C=728)
-in the batch-folded channel-sublane layout (1, R, C, N·W).
+"""Fused Xception-65 chains — middle flow (16 residual blocks of 3
+sep-convs, C=728), exit flow (dilated exit_block + 3 post-relu exit seps),
+and entry blocks (stride-2 sep3 + 1x1/s2 skip) — in the batch-folded
+channel-sublane layout (1, R, C, N·W), each in a training (BN-barrier
+passes + analytic backward, shard_map sync-BN variants) and an eval
+(folded running-stat BN) flavor.
 
 Why: config #3 (BASELINE.json:9) runs Xception-65 at 769² / OS16, where the
 middle flow lives at 49² — stock XLA lane-pads W=49 -> 128 (2.6x HBM bytes)
@@ -492,10 +496,6 @@ def _seg_bwd(gy, pn, p, pre, specs, dil, acts, stats, H, wseg, NW, M, eps,
             pn = _bnbwd_pack(stats[2 * j - 1][0], stats[2 * j - 1][1],
                              p[f"gp{pre}{j - 1}"], sE[:, 0], sE[:, 1], M)
     return gy
-
-
-def _bn_fin_fwd(a, m, v, g, b, eps):
-    return _affine(a, m, v, g, b, eps)
 
 
 def _masked_moments(a, H, NW, M, g_psum):
