@@ -8,7 +8,28 @@ Env override: KDCC_PALLAS=0/1.
 
 from __future__ import annotations
 
+import contextlib
 import os
+
+# When True, every fast-path knob below reports disabled regardless of env /
+# module settings. Used by utils.flops so the roofline denominator is traced
+# from the STOCK conv graph — Pallas chain kernels hide their convs inside
+# pallas_call, which would otherwise shrink the counted FLOPs (and inflate
+# the roofline) whenever a fused path is on.
+_force_stock = False
+
+
+@contextlib.contextmanager
+def stock_graph():
+    """Trace with all fast paths disabled (see _force_stock)."""
+    global _force_stock
+    prev = _force_stock
+    _force_stock = True
+    try:
+        yield
+    finally:
+        _force_stock = prev
+
 
 use_pallas_separable: bool | None = None
 
@@ -30,6 +51,8 @@ def gemm_dilated_conv_enabled() -> bool:
     (XLA conv) at b16/513² — XLA's dilated conv wins in-context despite
     looking slow in (unreliable, dispatch-dominated) single-op microbenches.
     Kept as an opt-in experiment (KDCC_GEMM=1)."""
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_GEMM")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -45,6 +68,8 @@ fuse_upsample_into_loss: bool | None = True
 
 
 def fuse_upsample_into_loss_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_FUSE_UPSAMPLE")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -83,6 +108,8 @@ use_pallas_stem: bool | None = None
 
 
 def pallas_stem_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_PALLAS_STEM")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -108,6 +135,8 @@ use_pallas_decoder: bool | None = False
 
 
 def pallas_decoder_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_PALLAS_DECODER")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -125,6 +154,8 @@ use_pallas_decoder_nw: bool | None = False
 
 
 def pallas_decoder_nw_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_PALLAS_DECODER_NW")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -143,6 +174,8 @@ use_pallas_xception_middle: bool | None = False
 
 
 def pallas_xmid_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_PALLAS_XMID")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -161,6 +194,8 @@ use_pallas_dw: bool | None = False
 
 
 def pallas_dw_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_PALLAS_DW")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -192,6 +227,8 @@ use_pallas_ir: bool | None = False
 
 
 def pallas_ir_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_PALLAS_IR")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -214,6 +251,8 @@ use_pallas_resnet_eval: bool | None = False
 
 
 def pallas_resnet_eval_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_PALLAS_RNET")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -231,6 +270,8 @@ use_s2d_stem: bool | None = False
 
 
 def s2d_stem_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_S2D_STEM")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -249,6 +290,8 @@ split_decoder_concat: bool | None = True
 
 
 def split_decoder_concat_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_SPLIT_DECODER")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -264,6 +307,8 @@ split_aspp_concat: bool | None = True
 
 
 def split_aspp_concat_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_SPLIT_ASPP")
     if env is not None:
         return env not in ("0", "false", "False")
@@ -277,6 +322,8 @@ stem_channel_major: int | None = None
 
 
 def stem_channel_major_until() -> int:
+    if _force_stock:
+        return 0
     env = os.environ.get("KDCC_STEM_CM")
     if env is not None:
         return int(env)
@@ -284,6 +331,8 @@ def stem_channel_major_until() -> int:
 
 
 def pallas_separable_enabled() -> bool:
+    if _force_stock:
+        return False
     env = os.environ.get("KDCC_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")

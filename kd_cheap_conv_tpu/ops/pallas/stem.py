@@ -64,10 +64,11 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 BH = int(os.environ.get("KDCC_STEM_BH", "16"))  # output rows per grid cell
-# 112 MiB of v5e's 128 MiB VMEM: the NW-folded IR-chain s2 pass (irchain.py)
-# carries three f32 (2176, 1152) selection matrices and lands 8 KiB over the
-# default 100 MiB scoped limit.
-_CP = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
+# 120 MiB of v5e's 128 MiB VMEM: the NW-folded IR-chain s2 pass (irchain.py)
+# carries three f32 (2176, 1152) selection matrices (8 KiB over the default
+# 100 MiB scoped limit), and the s1 dw BACKWARD at BH_IR=8 stacks 113.8 MiB
+# of live halo tensors (measured v5e compile: 1.8 MiB over a 112 MiB cap).
+_CP = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
 PAD = 2 * BH  # top pad rows: 2 BH blocks; PAD//2 = BH = 1 pair block
 
 

@@ -3,6 +3,9 @@
 Counts 2*MAC FLOPs for every `conv_general_dilated` in the jaxpr of a
 model's forward (and scales fwd+bwd by the standard 3x for the student).
 Traced with jax.make_jaxpr — counts the traced graph, not a hand model.
+Tracing runs under config.stock_graph() so the denominator is the STOCK
+conv graph regardless of which Pallas fast paths are enabled (fused chains
+hide their convs inside pallas_call and would shrink the count).
 """
 
 from __future__ import annotations
@@ -11,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
+
+from .. import config
 
 
 def conv_fwd_flops(model: nnx.Module, hw: int, *, batch: int = 1) -> float:
@@ -22,7 +27,8 @@ def conv_fwd_flops(model: nnx.Module, hw: int, *, batch: int = 1) -> float:
         return nnx.merge(graphdef, state)(x)
 
     x = jnp.zeros((batch, hw, hw, 3), jnp.float32)
-    jaxpr = jax.make_jaxpr(fwd)(state, x)
+    with config.stock_graph():
+        jaxpr = jax.make_jaxpr(fwd)(state, x)
     total = _count(jaxpr.jaxpr)
     _restore(model, model_was)
     return total
@@ -127,7 +133,8 @@ def conv_roofline_seconds(model: nnx.Module, hw: int, *, batch: int = 1,
         return nnx.merge(graphdef, state)(x)
 
     x = jnp.zeros((batch, hw, hw, 3), jnp.float32)
-    jaxpr = jax.make_jaxpr(fwd)(state, x)
+    with config.stock_graph():
+        jaxpr = jax.make_jaxpr(fwd)(state, x)
     secs = _conv_roofline_seconds(jaxpr.jaxpr, peak_flops=peak_flops,
                                   hbm_bw=hbm_bw, itemsize=itemsize)
     _restore(model, model_was)
