@@ -40,7 +40,9 @@ def make_loader(
     """
     n = len(dataset)
     epoch = 0
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+    # num_workers=0 (the reference DataLoader's "in-process" convention)
+    # maps to a single worker thread; ThreadPoolExecutor rejects 0.
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         while num_epochs is None or epoch < num_epochs:
             order = np.arange(n)
             if shuffle:

@@ -15,7 +15,10 @@ per-sample RNG from (seed, epoch, index)) and the cache must be built with
 the SAME seed/epoch stream, or logits won't match the pixels. The simple
 contract used here: build the cache with transform applied at epoch 0 and
 train with num_epochs=1-style iteration, or use deterministic (val-style)
-transforms — the reference has the same constraint.
+transforms — the reference has the same constraint. The CLI exposes the
+deterministic option as --cached_det_transform (main.py): the train set is
+built with val-style resize+center-crop so multi-epoch cached training sees
+stable pixels instead of replayed epoch-0 random augmentations.
 """
 
 from __future__ import annotations

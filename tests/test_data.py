@@ -135,3 +135,53 @@ def test_stream_seg_metrics_ignores_255():
     p = np.array([[0, 1]])
     m.update(t, p)
     assert m.confusion_matrix.sum() == 1
+
+
+def _fake_voc_tree(tmp_path):
+    """Tiny on-disk VOC2012 layout (2 images) for offline transform tests."""
+    from PIL import Image
+
+    base = tmp_path / "VOC2012"
+    (base / "JPEGImages").mkdir(parents=True)
+    (base / "SegmentationClass").mkdir()
+    (base / "ImageSets" / "Segmentation").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    names = ("a", "b")
+    for n in names:
+        Image.fromarray(rng.randint(0, 255, (60, 80, 3), np.uint8)).save(
+            base / "JPEGImages" / f"{n}.jpg")
+        Image.fromarray(rng.randint(0, 21, (60, 80)).astype(np.uint8)).save(
+            base / "SegmentationClass" / f"{n}.png")
+    for split in ("train", "val"):
+        (base / "ImageSets" / "Segmentation" / f"{split}.txt").write_text(
+            "\n".join(names) + "\n")
+    return str(tmp_path)
+
+
+def test_cached_det_transform_yields_stable_pixels(tmp_path):
+    """--cached_det_transform swaps the train pipeline to val-style
+    deterministic transforms, so multi-epoch cached-teacher training sees
+    the same pixels every epoch instead of replayed epoch-0 augmentations
+    (kd/cached.py caveat; VERDICT r2 weak #5)."""
+    from main import get_argparser, get_dataset
+
+    root = _fake_voc_tree(tmp_path)
+    base = ["--dataset", "voc", "--data_root", root, "--crop_size", "32"]
+    cached = ["--kd", "--cached_logits", str(tmp_path / "c.npz")]
+
+    opts = get_argparser().parse_args(base + cached + ["--cached_det_transform"])
+    train, _, _ = get_dataset(opts)
+    # different per-epoch RNG streams -> identical pixels and fixed size
+    img0, lbl0 = train.__getitem__(0, np.random.default_rng((0, 0, 0)))
+    img1, lbl1 = train.__getitem__(0, np.random.default_rng((0, 1, 0)))
+    assert img0.shape == (32, 32, 3)
+    np.testing.assert_array_equal(img0, img1)
+    np.testing.assert_array_equal(lbl0, lbl1)
+
+    # without the flag the train pipeline stays random (sanity: the two
+    # epoch streams disagree on these 60x80 sources)
+    opts = get_argparser().parse_args(base + cached)
+    train, _, _ = get_dataset(opts)
+    img0, _ = train.__getitem__(0, np.random.default_rng((0, 0, 0)))
+    img1, _ = train.__getitem__(0, np.random.default_rng((0, 1, 0)))
+    assert img0.shape != img1.shape or not np.array_equal(img0, img1)
