@@ -56,9 +56,16 @@ def main() -> None:
     dt = time.perf_counter() - t0
     img_per_s = batch * iters / dt
 
-    from kd_cheap_conv_tpu.utils.flops import kd_step_roofline_img_per_s
+    # v2 traffic-complete roofline over this step's real jaxpr (round 3,
+    # tools/roofline_v2.py); v1 conv-only kept alongside for continuity.
+    from kd_cheap_conv_tpu.utils.flops import (full_step_roofline_seconds,
+                                               kd_step_roofline_img_per_s)
 
-    roofline = kd_step_roofline_img_per_s(teacher, student, hw, batch=batch)
+    roofline_v1 = kd_step_roofline_img_per_s(teacher, student, hw,
+                                             batch=batch)
+    bound_s, _ = full_step_roofline_seconds(step_fn, state,
+                                            (images, labels), t_state)
+    roofline = batch / bound_s
     print(json.dumps({
         "metric": "kd_train_images_per_sec_per_chip_769_xception",
         "value": round(img_per_s, 2),
@@ -68,6 +75,7 @@ def main() -> None:
             "batch": batch,
             "step_ms": round(1e3 * dt / iters, 2),
             "roofline_img_s_memaware": round(roofline, 2),
+            "roofline_img_s_v1_convonly": round(roofline_v1, 2),
             "loss": float(metrics["loss"]),
         },
     }))

@@ -219,11 +219,11 @@ def pallas_interpret_mode() -> bool:
 # features[3..6] as batch-folded (N·W-on-lanes) channel-sublane passes in
 # training mode — the stock-XLA cluster is 9.4ms fwd+bwd vs a 2.8ms bound
 # at b16/513² (round-3 profile). None = auto: same policy as the stem.
-# Opt-in (False) until the kernel is measured on real hardware — parity is
-# pinned by tests/test_pallas_ir.py, but the v5e VMEM/latency behavior of
-# the NW-folded passes is unverified (the relay was down when this landed).
+# Measured on the real v5e (round-3 A/B, b16/513²): 250.6 -> 253.4/255.1
+# img/s — a ~1ms/step win capped by the NHWC<->NW boundary transposes.
+# Default ON (auto); parity pinned by tests/test_pallas_ir.py.
 # Env: KDCC_PALLAS_IR=0/1.
-use_pallas_ir: bool | None = False
+use_pallas_ir: bool | None = None
 
 
 def pallas_ir_enabled() -> bool:

@@ -149,3 +149,95 @@ def kd_step_roofline_img_per_s(teacher: nnx.Module, student: nnx.Module,
     t = conv_roofline_seconds(teacher, hw, batch=batch)
     s = conv_roofline_seconds(student, hw, batch=batch)
     return batch / (t + 3.0 * s)
+
+
+# ---------------------------------------------------------------------------
+# roofline v2: traffic-complete bound over the REAL train-step jaxpr
+# (round-3 revision; breakdown CLI in tools/roofline_v2.py)
+# ---------------------------------------------------------------------------
+
+_LARGE_ADD_BYTES = 4 * 1024 * 1024
+
+
+def _aval_bytes(aval) -> float:
+    return float(np.prod(aval.shape)) * aval.dtype.itemsize
+
+
+def _walk_v2(jaxpr, acc, *, peak_flops: float, hbm_bw: float):
+    """Accumulate per-category lower-bound seconds over a jaxpr (recursing
+    into pjit/custom_vjp/scan bodies). Cost model — see tools/roofline_v2.py
+    docstring: convs/dots at max(FLOPs/peak, bytes/bw); residual-style
+    large+large adds at one extra read of the smaller operand; maxpool
+    fwd/bwd at bytes in+out; everything else free (ideal fusion), keeping
+    this a LOWER bound rather than a model of XLA's achieved fusion."""
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "conv_general_dilated":
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            out = eqn.outvars[0].aval
+            rs = eqn.params["dimension_numbers"].rhs_spec
+            cin_per_group = rhs.shape[rs[1]]
+            k_spatial = float(np.prod([rhs.shape[i] for i in rs[2:]]))
+            flops = (2.0 * float(np.prod(out.shape)) * k_spatial
+                     * cin_per_group)
+            byt = _aval_bytes(lhs) + _aval_bytes(out) + _aval_bytes(rhs)
+            acc["conv_s"] += max(flops / peak_flops, byt / hbm_bw)
+            acc["conv_flops"] += flops
+            acc["conv_bytes"] += byt
+            acc["conv_n"] += 1
+            acc["conv_bw_bound_n"] += int(byt / hbm_bw > flops / peak_flops)
+        elif name == "dot_general":
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            out = eqn.outvars[0].aval
+            ((lc, _), __) = eqn.params["dimension_numbers"]
+            k = float(np.prod([lhs.shape[i] for i in lc]))
+            flops = 2.0 * float(np.prod(out.shape)) * k
+            byt = _aval_bytes(lhs) + _aval_bytes(rhs) + _aval_bytes(out)
+            acc["dot_s"] += max(flops / peak_flops, byt / hbm_bw)
+            acc["dot_flops"] += flops
+            acc["dot_n"] += 1
+        elif name in ("add", "sub"):
+            avals = [v.aval for v in eqn.invars if hasattr(v, "aval")]
+            if (len(avals) == 2
+                    and all(_aval_bytes(a) >= _LARGE_ADD_BYTES
+                            for a in avals)):
+                byt = min(_aval_bytes(a) for a in avals)
+                acc["resid_s"] += byt / hbm_bw
+                acc["resid_bytes"] += byt
+                acc["resid_n"] += 1
+        elif name in ("reduce_window_max", "reduce_window",
+                      "select_and_scatter_add"):
+            byt = sum(_aval_bytes(v.aval) for v in eqn.invars
+                      if hasattr(v, "aval"))
+            byt += sum(_aval_bytes(v.aval) for v in eqn.outvars)
+            acc["pool_s"] += byt / hbm_bw
+            acc["pool_n"] += 1
+        for v in eqn.params.values():
+            sub = getattr(v, "jaxpr", None)
+            if sub is not None:
+                _walk_v2(sub, acc, peak_flops=peak_flops, hbm_bw=hbm_bw)
+            if isinstance(v, (list, tuple)):
+                for vv in v:
+                    sub = getattr(vv, "jaxpr", None)
+                    if sub is not None:
+                        _walk_v2(sub, acc, peak_flops=peak_flops,
+                                 hbm_bw=hbm_bw)
+    return acc
+
+
+def full_step_roofline_seconds(step_fn, *args, peak_flops: float = 197e12,
+                               hbm_bw: float = 819e9):
+    """Traffic-complete lower-bound seconds for ONE call of the real train
+    step (traced under config.stock_graph() so Pallas fast paths don't hide
+    their convs). Returns (bound_seconds, breakdown_dict). The backward is
+    counted EXACTLY (its dgrad/wgrad convs appear in the grad jaxpr) —
+    no 3x-forward heuristic."""
+    with config.stock_graph():
+        jaxpr = jax.make_jaxpr(step_fn)(*args)
+    acc = {k: 0.0 for k in ("conv_s", "conv_flops", "conv_bytes", "dot_s",
+                            "dot_flops", "resid_s", "resid_bytes", "pool_s")}
+    acc.update({k: 0 for k in ("conv_n", "conv_bw_bound_n", "dot_n",
+                               "resid_n", "pool_n")})
+    _walk_v2(jaxpr.jaxpr, acc, peak_flops=peak_flops, hbm_bw=hbm_bw)
+    bound = acc["conv_s"] + acc["dot_s"] + acc["resid_s"] + acc["pool_s"]
+    return bound, acc

@@ -1,0 +1,103 @@
+"""Traffic-complete roofline for the FULL KD train step (v5e: 197 bf16
+TFLOP/s, 819 GB/s HBM) — the auditable bound revision VERDICT round 2 asked
+for ("a measured per-cluster achievable-bound revision ... the driver can
+audit").
+
+What it does differently from the v1 bound (conv-only, used by bench.py
+through round 2):
+
+  v1: conv-only, forward graphs, student backward modeled as 3x forward.
+  v2: traces the REAL jitted train step (teacher fwd + student fwd/bwd +
+      loss + SGD) under config.stock_graph() and walks the whole jaxpr:
+
+      - conv_general_dilated  max(FLOPs/peak, bytes/bw) — this now counts
+        the actual dgrad/wgrad convs of the backward (they appear as convs
+        in the grad jaxpr), not a heuristic multiple;
+      - dot_general           same model (loss matmuls, bilinear-resize
+        matmuls, hint adapters);
+      - large-large `add`     one extra HBM read of the smaller operand:
+        a residual add y = conv_out + skip can fuse into the producer's
+        epilogue, but the skip stream still must be read — mandatory
+        traffic the conv-only bound ignores (measured 0.42 ms per teacher
+        layer1 residual in the round-3 xplane profile);
+      - reduce_window / select_and_scatter_add (maxpool fwd/bwd) at
+        bytes in+out;
+      - everything else       0 — the ideal-fusion assumption. BN moments
+        and normalize-applies fuse into producer epilogues / consumer
+        prologues; elementwise chains are free. This keeps v2 a LOWER
+        bound, not a model of XLA's achieved fusion.
+
+Measured v2 output at b16/513² (config #2 shape): convs 29.54 ms (304 convs,
+261 bandwidth-bound, 3.11 TFLOP, 18.1 GB), dots 1.80, residuals 2.72
+(47 adds, 2.2 GB), pool 0.21 → 34.27 ms → 466.9 img/s, target@90% = 420.2.
+The v1 conv-only estimate (29.2 ms → 547 img/s) is confirmed by the exact
+backward accounting (29.54 ms of convs) — the revision is the +4.7 ms of
+mandatory non-conv streams, not a re-litigation of the conv number.
+
+Run: JAX_PLATFORMS=cpu python tools/roofline_v2.py  (trace only, ~1 min).
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def full_step_bound(batch: int = 16, hw: int = 513,
+                    student_name: str = "deeplabv3plus_mobilenet",
+                    scope="classifier", verbose: bool = True):
+    """Build the bench.py workload and return (bound_seconds, breakdown)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from kd_cheap_conv_tpu.kd import KDConfig, replace_cheap_convs
+    from kd_cheap_conv_tpu.kd.replace import CheapConvSpec
+    from kd_cheap_conv_tpu.models import build_model
+    from kd_cheap_conv_tpu.train import make_kd_train_step, make_optimizer
+    from kd_cheap_conv_tpu.utils.flops import full_step_roofline_seconds
+
+    dtype = jnp.bfloat16
+    teacher = build_model("deeplabv3plus_resnet101", num_classes=21,
+                          output_stride=16, dtype=dtype, rngs=nnx.Rngs(0))
+    student = build_model(student_name, num_classes=21,
+                          output_stride=16, dtype=dtype, rngs=nnx.Rngs(1))
+    replace_cheap_convs(student, CheapConvSpec(kind="separable"), scope=scope)
+
+    cfg = KDConfig(temperature=4.0, alpha=0.5, beta=0.5)
+    _, params, _ = nnx.split(student, nnx.Param, ...)
+    tx = make_optimizer({"student": params}, lr=1e-3, max_iters=10_000,
+                        label_fn=lambda d: (
+                            "backbone" if d.startswith("student.backbone")
+                            else "head"))
+    init_state, step_fn, t_state = make_kd_train_step(student, teacher, tx,
+                                                      cfg)
+    state = init_state()
+    images = jnp.zeros((batch, hw, hw, 3), jnp.float32)
+    labels = jnp.zeros((batch, hw, hw), jnp.int32)
+
+    bound, acc = full_step_roofline_seconds(step_fn, state, (images, labels),
+                                            t_state)
+    if verbose:
+        print(f"== roofline v2: full-step traffic-complete bound "
+              f"(b{batch}/{hw}²) ==")
+        print(f"  convs      {acc['conv_s']*1e3:7.2f} ms   "
+              f"n={acc['conv_n']} ({acc['conv_bw_bound_n']} bw-bound)  "
+              f"{acc['conv_flops']/1e12:.2f} TFLOP  "
+              f"{acc['conv_bytes']/1e9:.1f} GB")
+        print(f"  dots       {acc['dot_s']*1e3:7.2f} ms   n={acc['dot_n']}  "
+              f"{acc['dot_flops']/1e12:.2f} TFLOP")
+        print(f"  residuals  {acc['resid_s']*1e3:7.2f} ms   "
+              f"n={acc['resid_n']}  {acc['resid_bytes']/1e9:.1f} GB")
+        print(f"  pool       {acc['pool_s']*1e3:7.2f} ms   n={acc['pool_n']}")
+        print(f"  TOTAL      {bound*1e3:7.2f} ms  -> "
+              f"{batch/bound:.1f} img/s  (target@90% "
+              f"{0.9*batch/bound:.1f})")
+    return bound, acc
+
+
+if __name__ == "__main__":
+    bound, acc = full_step_bound()
+    print(json.dumps({
+        "bound_ms": round(bound * 1e3, 2),
+        "roofline_img_s": round(16 / bound, 2),
+        "target_img_s": round(0.9 * 16 / bound, 2),
+    }))
