@@ -245,8 +245,11 @@ def pallas_ir_enabled() -> bool:
 
 # Fused eval-mode ResNet bottlenecks (ops.pallas.rchain): the config-#2
 # teacher's layer1/layer2 stride-1 blocks as one folded-BN kernel per
-# block (only block input/output touch HBM). Opt-in until measured.
-# Env: KDCC_PALLAS_RNET=0/1.
+# block (only block input/output touch HBM). Measured round 3 (A/B at
+# b16/513², real v5e): LOSES in context, 255.8 -> 245.2 img/s (-2.7
+# ms/step) — same layout-copy-boundary story as the standalone dwconv;
+# XLA's layer1/2 fusions were already near the residual-stream bound.
+# Kept opt-in, parity-tested. Env: KDCC_PALLAS_RNET=0/1.
 use_pallas_resnet_eval: bool | None = False
 
 
