@@ -74,22 +74,21 @@ def main() -> None:
     img_per_s = batch * iters / dt
 
     # Memory-aware analytic roofline. v2 (round 3, tools/roofline_v2.py):
-    # traffic-complete bound over THIS step_fn's real jaxpr — fwd + exact
-    # bwd convs, loss/resize matmuls, residual-add streams, maxpool — each
-    # at max(FLOPs/peak, bytes/HBM-bw) under ideal fusion. The v1 conv-only
-    # bound (fwd graphs, bwd ≈ 3x heuristic) is kept alongside for
-    # continuity with rounds 1-2; v2's exact backward accounting confirms
-    # v1's conv term (29.5 vs 29.2 ms at b16) and adds the mandatory
-    # non-conv streams (+4.7 ms). Target = 90% of the v2 bound (north_star).
-    from kd_cheap_conv_tpu.utils.flops import (
-        full_step_roofline_seconds, kd_step_flops_per_image,
-        kd_step_roofline_img_per_s)
+    # traffic-complete bound over the real step jaxpr — fwd + exact bwd
+    # convs, loss/resize matmuls, residual-add streams, maxpool — each at
+    # max(FLOPs/peak, bytes/HBM-bw) under ideal fusion. Round-4 fix
+    # (VERDICT r3 item 1 / advisor high): the bound is computed from a
+    # FRESH stock rebuild of the whole workload (kd_step_stock_bound), not
+    # from the measured step_fn — construction-time Pallas decisions and
+    # pjit's warmup-keyed jaxpr cache both leaked fast paths into the
+    # "stock" trace, inflating BENCH_r03's target to an impossible 502
+    # (v2 bound above the conv-only v1 bound). The walker now also rejects
+    # any trace containing a pallas_call. Target = 90% of v2 (north_star).
+    from kd_cheap_conv_tpu.utils.flops import kd_step_stock_bound
 
-    tflops_per_img = kd_step_flops_per_image(teacher, student, hw) / 1e12
-    roofline_v1 = kd_step_roofline_img_per_s(teacher, student, hw,
-                                             batch=batch)
-    bound_s, _ = full_step_roofline_seconds(step_fn, state,
-                                            (images, labels), t_state)
+    roofline_v1, bound_s, _, tflops_per_img = kd_step_stock_bound(
+        batch, hw, student_name=student_name,
+        scope=scope if len(scope) > 1 else scope[0])
     roofline_img_s = batch / bound_s
     target = 0.9 * roofline_img_s
 
@@ -106,6 +105,10 @@ def main() -> None:
             "target_img_s": round(target, 2),
             "roofline_img_s_v1_convonly": round(roofline_v1, 2),
             "target_img_s_v1": round(0.9 * roofline_v1, 2),
+            # invariant: a bound that only ADDS traffic terms can never be
+            # faster than the conv-only bound (False = denominator bug;
+            # pinned by tests/test_roofline_integrity.py)
+            "v2_le_v1": bool(roofline_img_s <= roofline_v1 + 1e-6),
             "loss": float(metrics["loss"]),
         },
     }))

@@ -85,7 +85,14 @@ class AtrousSeparableConvolution(nnx.Module):
         return est <= 6 * 1024 * 1024
 
     def __call__(self, x):
-        if self._fusable and self._fits_vmem(x):
+        # _fusable is decided at construction (jit-safe), but re-check the
+        # stock-graph override at trace time: roofline tracing wraps only
+        # the trace in config.stock_graph(), and a TPU-built module would
+        # otherwise keep its Pallas path inside the supposedly-stock graph
+        # (round-3 BENCH denominator bug).
+        from .. import config
+
+        if self._fusable and not config._force_stock and self._fits_vmem(x):
             from ..ops.pallas import fused_separable_conv
 
             dw = self.depthwise.kernel[...]

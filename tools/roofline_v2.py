@@ -45,37 +45,17 @@ import json
 def full_step_bound(batch: int = 16, hw: int = 513,
                     student_name: str = "deeplabv3plus_mobilenet",
                     scope="classifier", verbose: bool = True):
-    """Build the bench.py workload and return (bound_seconds, breakdown)."""
-    import jax.numpy as jnp
-    from flax import nnx
+    """Bound for the bench.py workload via the shared stock-rebuild helper
+    (utils.flops.kd_step_stock_bound — the round-4 integrity fix: the whole
+    workload is rebuilt fresh inside config.stock_graph() so construction-
+    time Pallas decisions and pjit's warmup-keyed jaxpr cache cannot leak
+    fast paths into the trace). bench.py computes its denominator through
+    the SAME call, so this CLI's output and the driver-recorded target are
+    one number by construction."""
+    from kd_cheap_conv_tpu.utils.flops import kd_step_stock_bound
 
-    from kd_cheap_conv_tpu.kd import KDConfig, replace_cheap_convs
-    from kd_cheap_conv_tpu.kd.replace import CheapConvSpec
-    from kd_cheap_conv_tpu.models import build_model
-    from kd_cheap_conv_tpu.train import make_kd_train_step, make_optimizer
-    from kd_cheap_conv_tpu.utils.flops import full_step_roofline_seconds
-
-    dtype = jnp.bfloat16
-    teacher = build_model("deeplabv3plus_resnet101", num_classes=21,
-                          output_stride=16, dtype=dtype, rngs=nnx.Rngs(0))
-    student = build_model(student_name, num_classes=21,
-                          output_stride=16, dtype=dtype, rngs=nnx.Rngs(1))
-    replace_cheap_convs(student, CheapConvSpec(kind="separable"), scope=scope)
-
-    cfg = KDConfig(temperature=4.0, alpha=0.5, beta=0.5)
-    _, params, _ = nnx.split(student, nnx.Param, ...)
-    tx = make_optimizer({"student": params}, lr=1e-3, max_iters=10_000,
-                        label_fn=lambda d: (
-                            "backbone" if d.startswith("student.backbone")
-                            else "head"))
-    init_state, step_fn, t_state = make_kd_train_step(student, teacher, tx,
-                                                      cfg)
-    state = init_state()
-    images = jnp.zeros((batch, hw, hw, 3), jnp.float32)
-    labels = jnp.zeros((batch, hw, hw), jnp.int32)
-
-    bound, acc = full_step_roofline_seconds(step_fn, state, (images, labels),
-                                            t_state)
+    v1_img_s, bound, acc, _ = kd_step_stock_bound(
+        batch, hw, student_name=student_name, scope=scope)
     if verbose:
         print(f"== roofline v2: full-step traffic-complete bound "
               f"(b{batch}/{hw}²) ==")
@@ -90,7 +70,7 @@ def full_step_bound(batch: int = 16, hw: int = 513,
         print(f"  pool       {acc['pool_s']*1e3:7.2f} ms   n={acc['pool_n']}")
         print(f"  TOTAL      {bound*1e3:7.2f} ms  -> "
               f"{batch/bound:.1f} img/s  (target@90% "
-              f"{0.9*batch/bound:.1f})")
+              f"{0.9*batch/bound:.1f})  [v1 conv-only {v1_img_s:.1f}]")
     return bound, acc
 
 
