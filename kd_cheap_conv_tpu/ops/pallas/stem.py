@@ -246,30 +246,38 @@ def _dw_taps(h, k, bh, W, flip=False, wseg=None, dil=1):
     wseg: per-image lane-segment width for the batch-folded (NW-on-lanes)
     layout — the conv zero-pad boundary is then at every multiple of wseg
     (the circular roll leaks image i-1's edge columns into image i's first
-    `dil` positions, which are exactly the masked positions)."""
+    `dil` positions, which are exactly the masked positions).
+
+    The dh-sum folds BEFORE the lane roll (shift_dw commutes with row sums):
+    2 rolls + 2 masks per call instead of 6 + 6 — these passes measured
+    VPU-bound, not bandwidth-bound (round-4 profile: dw1 fwd 0.74 ms vs a
+    0.28 ms traffic floor), so cutting the per-element roll/mask work is
+    the lever; the same trick fixed the s2 pass in round 3."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
     if wseg is not None:
         lane = lane % wseg
         edge = wseg
     else:
         edge = W
-    acc = jnp.zeros((bh, h.shape[1], W), jnp.float32)
-    for dh in range(3):
-        rows = h[dh * dil:dh * dil + bh]
-        for dw in range(3):
-            if dw == 1:
-                sh = rows
-            else:
-                # dw=0: tap x[w-dil] -> roll right by dil; dw=2: left
-                # (pltpu.roll is circular and needs a non-negative shift)
-                shift = dil if dw == 0 else W - dil
-                sh = pltpu.roll(rows, shift, axis=2)
-                if dw == 0:
-                    sh = jnp.where(lane >= dil, sh, 0.0)
-                else:
-                    sh = jnp.where(lane < edge - dil, sh, 0.0)
+    C = h.shape[1]
+    acc = jnp.zeros((bh, C, W), jnp.float32)
+    for dw in range(3):
+        g = jnp.zeros((bh, C, W), jnp.float32)
+        for dh in range(3):
             t = 8 - (dh * 3 + dw) if flip else dh * 3 + dw
-            acc = acc + sh * k[:, t:t + 1][None]
+            g = g + h[dh * dil:dh * dil + bh] * k[:, t:t + 1][None]
+        if dw == 1:
+            acc = acc + g
+        else:
+            # dw=0: tap x[w-dil] -> roll right by dil; dw=2: left
+            # (pltpu.roll is circular and needs a non-negative shift)
+            shift = dil if dw == 0 else W - dil
+            sh = pltpu.roll(g, shift, axis=2)
+            if dw == 0:
+                sh = jnp.where(lane >= dil, sh, 0.0)
+            else:
+                sh = jnp.where(lane < edge - dil, sh, 0.0)
+            acc = acc + sh
     return acc
 
 
@@ -709,7 +717,9 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
     # == dw-conv of ga with the spatially flipped kernel
     gh = _dw_taps(ga, k, bh, W, flip=True, wseg=wseg, dil=dil)  # (bh, C, W)
 
-    # weight grad: dk[c, t] = sum taps(h)[t] * ga_center
+    # weight grad: dk[c, t] = sum taps(h)[t] * ga_center. The lane shifts
+    # are hoisted to the FULL halo block (2 rolls + 2 masks instead of 6+6;
+    # these passes are VPU-bound — see _dw_taps).
     ga_c = ga[dil:dil + bh]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
     if wseg is not None:
@@ -717,19 +727,13 @@ def _dw_bwd_body(gy, an, ak, pn_ref, bnk_ref, k_ref,
         edge = wseg
     else:
         edge = W
+    h_l = jnp.where(lane >= dil, pltpu.roll(h, dil, axis=2), 0.0)
+    h_r = jnp.where(lane < edge - dil, pltpu.roll(h, W - dil, axis=2), 0.0)
+    shifted = (h_l, h, h_r)
     cols = []
     for dh in range(3):
-        rows = h[dh * dil:dh * dil + bh]
         for dw in range(3):
-            if dw == 1:
-                sh = rows
-            else:
-                shift = dil if dw == 0 else W - dil
-                sh = pltpu.roll(rows, shift, axis=2)
-                if dw == 0:
-                    sh = jnp.where(lane >= dil, sh, 0.0)
-                else:
-                    sh = jnp.where(lane < edge - dil, sh, 0.0)
+            sh = shifted[dw][dh * dil:dh * dil + bh]
             cols.append(jnp.sum(sh * ga_c, axis=(0, 2)))  # (C,)
     col = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
     dk_tile = jnp.zeros((C, 128), jnp.float32)
