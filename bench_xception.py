@@ -56,15 +56,16 @@ def main() -> None:
     dt = time.perf_counter() - t0
     img_per_s = batch * iters / dt
 
-    # v2 traffic-complete roofline over this step's real jaxpr (round 3,
-    # tools/roofline_v2.py); v1 conv-only kept alongside for continuity.
-    from kd_cheap_conv_tpu.utils.flops import (full_step_roofline_seconds,
-                                               kd_step_roofline_img_per_s)
+    # v2 traffic-complete roofline from a FRESH stock rebuild (round-4
+    # integrity fix, same as bench.py: tracing the measured step_fn leaks
+    # construction-time Pallas decisions + pjit's warmup-keyed jaxpr cache
+    # into the "stock" trace); v1 conv-only kept alongside for continuity.
+    from kd_cheap_conv_tpu.utils.flops import kd_step_stock_bound
 
-    roofline_v1 = kd_step_roofline_img_per_s(teacher, student, hw,
-                                             batch=batch)
-    bound_s, _ = full_step_roofline_seconds(step_fn, state,
-                                            (images, labels), t_state)
+    roofline_v1, bound_s, _, _ = kd_step_stock_bound(
+        batch, hw, teacher_name="deeplabv3plus_xception",
+        student_name="deeplabv3plus_xception", scope="classifier",
+        num_classes=ncls)
     roofline = batch / bound_s
     print(json.dumps({
         "metric": "kd_train_images_per_sec_per_chip_769_xception",
@@ -76,6 +77,8 @@ def main() -> None:
             "step_ms": round(1e3 * dt / iters, 2),
             "roofline_img_s_memaware": round(roofline, 2),
             "roofline_img_s_v1_convonly": round(roofline_v1, 2),
+            "target_img_s": round(0.9 * roofline, 2),
+            "v2_le_v1": bool(roofline <= roofline_v1 + 1e-6),
             "loss": float(metrics["loss"]),
         },
     }))

@@ -148,8 +148,10 @@ def pallas_decoder_enabled() -> bool:
 # Batch-folded fused decoder head (ops.pallas.decoder
 # fused_decoder_head_folded): the same sep-conv+BN+relu+classifier chain as
 # use_pallas_decoder but with lanes = N·W (2064 -> 2176, 1.05x pad, vs the
-# 129 -> 256 = 1.98x pad that made the legacy layout lose). Opt-in (False)
-# until measured on real hardware. Env: KDCC_PALLAS_DECODER_NW=0/1.
+# 129 -> 256 = 1.98x pad that made the legacy layout lose). Measured LOSING
+# at b16/513²: round 3 250.6 -> 236.3; round 4 (after the dh-fold VPU cut)
+# 260.2 -> 249.8 (-2.6 ms) — the NHWC<->NW boundary transposes still
+# dominate the prize. Opt-in. Env: KDCC_PALLAS_DECODER_NW=0/1.
 use_pallas_decoder_nw: bool | None = False
 
 
@@ -280,6 +282,27 @@ def s2d_stem_enabled() -> bool:
         return env not in ("0", "false", "False")
     if use_s2d_stem is not None:
         return use_s2d_stem
+    return False
+
+
+# Host-side space-to-depth: the data pipeline emits s2d_pack'ed images
+# (N, (H-1)//2+4, ., 12) so BOTH entry stems (teacher 7x7/s2, student
+# 3x3/s2) consume the packed tensor directly via conv2d_s2d_packed — the
+# device-side gather that made KDCC_S2D_STEM lose never runs (VERDICT r3
+# item 5). H2D bytes unchanged. Models detect the packed input by its 12
+# channels when this knob is on; eval/TTA paths keep normal images.
+# Opt-in until measured. Env: KDCC_HOST_S2D=0/1.
+use_host_s2d: bool | None = False
+
+
+def host_s2d_enabled() -> bool:
+    if _force_stock:
+        return False
+    env = os.environ.get("KDCC_HOST_S2D")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_host_s2d is not None:
+        return use_host_s2d
     return False
 
 

@@ -69,20 +69,38 @@ def make_loader(
             epoch += 1
 
 
-def prefetch_to_device(iterator, *, mesh=None, buffer_size: int = 2):
+def prefetch_to_device(iterator, *, mesh=None, buffer_size: int = 2,
+                       host_s2d: bool = False):
     """Wrap a host batch iterator with an async device-transfer queue.
 
     With a mesh, batches land sharded over the 'data' axis; otherwise on the
     default device. A background thread stays `buffer_size` batches ahead, so
     H2D copy overlaps with the running step (double buffering).
+
+    host_s2d: space-to-depth-pack the image tensor on the host
+    (ops.conv.s2d_pack) so the entry stems consume the 12-channel packed
+    tensor directly (KDCC_HOST_S2D; the pack runs in the producer thread,
+    overlapped with the device step). Applied only to 3-channel odd-sized
+    image batches — cached-logit extras and labels pass through untouched.
     """
     sharding = batch_sharding(mesh) if mesh is not None else None
     q: Queue = Queue(maxsize=buffer_size)
     _SENTINEL = object()
 
+    def _pack(batch):
+        imgs = batch[0]
+        if (imgs.ndim == 4 and imgs.shape[-1] == 3
+                and imgs.shape[1] % 2 == 1 and imgs.shape[2] % 2 == 1):
+            from ..ops.conv import s2d_pack
+
+            return (s2d_pack(imgs), *batch[1:])
+        return batch
+
     def _producer():
         try:
             for batch in iterator:
+                if host_s2d:
+                    batch = _pack(batch)
                 first = jax.tree.leaves(batch)[0]
                 if (sharding is not None
                         and first.shape[0] % sharding.mesh.size == 0):

@@ -257,9 +257,17 @@ class SegmentationModel(nnx.Module):
                  class_major: bool = False, upsample: bool = True):
         import jax.numpy as jnp
 
+        from .. import config
         from ..ops.resize import resize_bilinear_nchw
 
-        size = x.shape[1:3]
+        if x.shape[-1] == 12 and config.host_s2d_enabled():
+            # host-packed S2D input (ops.conv.s2d_pack): logits upsample to
+            # the ORIGINAL odd resolution, not the packed extent
+            from ..ops.conv import s2d_orig_size
+
+            size = s2d_orig_size(x.shape[1], x.shape[2])
+        else:
+            size = x.shape[1:3]
         feats = self.backbone(x)
         if return_features:
             logits, head_feats = self.classifier(feats, return_features=True)

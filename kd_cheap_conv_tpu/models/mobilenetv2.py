@@ -115,6 +115,29 @@ class MobileNetV2(nnx.Module):
         self.out_channels = input_channel  # 320
         self.channel_major_until = cm
 
+    def _apply_f0(self, x):
+        """features[0] (ConvBNReLU6 3x3/s2/pad1). Consumes a host-packed
+        S2D tensor (12 channels, ops.conv.s2d_pack) via the exact 2x2 VALID
+        rewrite when KDCC_HOST_S2D is on (VERDICT r3 item 5)."""
+        from .. import config
+
+        f0 = self.features[0]
+        if not (x.shape[-1] == 12 and config.host_s2d_enabled()):
+            return f0(x)
+        from flax import nnx as _nnx
+
+        from ..ops.conv import conv2d_s2d_packed
+
+        if f0.conv.kernel_size != (3, 3) or f0.conv.stride != (2, 2) \
+                or f0.conv.padding != (1, 1):
+            raise ValueError("host-S2D input requires the standard "
+                             "3x3/s2/pad1 MobileNetV2 entry conv")
+        w = f0.conv.kernel[...]
+        if f0.conv.dtype is not None:
+            x = x.astype(f0.conv.dtype)
+            w = w.astype(f0.conv.dtype)
+        return _nnx.relu6(f0.bn(conv2d_s2d_packed(x, w, 1)))
+
     def _fused_stem_active(self) -> bool:
         from .. import config
 
@@ -154,11 +177,18 @@ class MobileNetV2(nnx.Module):
         if f0.conv.dtype is not None:
             x = x.astype(f0.conv.dtype)
             w0 = w0.astype(f0.conv.dtype)
-        ph, pw_ = f0.conv.padding
-        a0 = lax.conv_general_dilated(
-            x, w0, window_strides=f0.conv.stride,
-            padding=[(ph, ph), (pw_, pw_)],
-            dimension_numbers=("NHWC", "HWIO", "NHCW"))
+        if x.shape[-1] == 12 and config.host_s2d_enabled():
+            # host-packed S2D input: 2x2 VALID rewrite, same NHCW emission
+            from ..ops.conv import conv2d_s2d_packed
+
+            a0 = conv2d_s2d_packed(
+                x, w0, 1, dimension_numbers=("NHWC", "HWIO", "NHCW"))
+        else:
+            ph, pw_ = f0.conv.padding
+            a0 = lax.conv_general_dilated(
+                x, w0, window_strides=f0.conv.stride,
+                padding=[(ph, ph), (pw_, pw_)],
+                dimension_numbers=("NHWC", "HWIO", "NHCW"))
         dw = lambda kv: kv[:, :, 0, :].transpose(2, 0, 1).reshape(
             kv.shape[3], 9)
         pw = lambda kv: kv[0, 0].T
@@ -307,7 +337,7 @@ class MobileNetV2(nnx.Module):
                 x = m(x) if fn is None else fn(x)
             else:
                 x = flush(x)
-                x = m(x)
+                x = self._apply_f0(x) if i == 0 else m(x)
             if i == 3:
                 x = flush(x)
                 low_level = x
@@ -336,6 +366,9 @@ class MobileNetV2(nnx.Module):
 
         cm = self.channel_major_until
         if cm > 0:
+            if x.shape[1] == 12 or x.shape[-1] == 12:
+                raise ValueError("host-S2D packed input is not supported "
+                                 "with the NCHW channel-major stem")
             # low-channel high-res stem runs NCHW: W in lanes instead of a
             # 16/32-wide channel dim lane-padded to 128 (4-8x HBM traffic)
             x = jnp.transpose(x, (0, 3, 1, 2))
@@ -343,7 +376,7 @@ class MobileNetV2(nnx.Module):
         for i, m in enumerate(self.features):
             if i == cm and cm > 0:
                 x = jnp.transpose(x, (0, 2, 3, 1))
-            x = m(x)
+            x = self._apply_f0(x) if i == 0 and cm == 0 else m(x)
             if i == 3:  # features[0:4] -> 24ch stride-4 tap
                 low_level = (jnp.transpose(x, (0, 2, 3, 1)) if i < cm else x)
         if cm > len(self.features) - 1:

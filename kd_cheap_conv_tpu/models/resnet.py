@@ -117,6 +117,23 @@ class ResNet(nnx.Module):
             w = w.astype(conv.dtype)
         return nnx.relu(self.stem.bn(conv2d_s2d(x, w, 3)))
 
+    def _stem_s2d_packed(self, x):
+        """7x7/s2 stem over a HOST-packed S2D input (ops.conv.s2d_pack, 12
+        channels): the 4x4 VALID conv reads the packed tensor directly —
+        no device gather (KDCC_HOST_S2D, VERDICT r3 item 5)."""
+        from ..ops.conv import conv2d_s2d_packed
+
+        conv = self.stem.conv
+        if conv.kernel_size != (7, 7) or conv.stride != (2, 2) \
+                or conv.padding != (3, 3):
+            raise ValueError("host-S2D input requires the standard "
+                             "7x7/s2/pad3 ResNet stem")
+        w = conv.kernel[...]
+        if conv.dtype is not None:
+            x = x.astype(conv.dtype)
+            w = w.astype(conv.dtype)
+        return nnx.relu(self.stem.bn(conv2d_s2d_packed(x, w, 3)))
+
     def _maxpool(self, x):
         # torch MaxPool2d(kernel_size=3, stride=2, padding=1).
         # init must be the literal -inf for JAX to recognize the max monoid
@@ -170,7 +187,12 @@ class ResNet(nnx.Module):
         return x
 
     def __call__(self, x):
-        x = self._stem_s2d(x) if self._stem_s2d_active() else self.stem(x)
+        from .. import config
+
+        if x.shape[-1] == 12 and config.host_s2d_enabled():
+            x = self._stem_s2d_packed(x)
+        else:
+            x = self._stem_s2d(x) if self._stem_s2d_active() else self.stem(x)
         x = self._maxpool(x)
         x = self._run_layer(x, self.layer1)
         low_level = x

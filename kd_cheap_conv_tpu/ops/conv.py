@@ -197,6 +197,76 @@ def fixed_padding(x: jax.Array, kh: int, kw: int, dilation: int = 1) -> jax.Arra
     return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
 
 
+def s2d_pack(x):
+    """Host-side space-to-depth(2) packing with a 3-pixel zero margin.
+
+    (N, H, W, C) -> (N, (H-1)//2 + 4, (W-1)//2 + 4, 4C), H/W odd (the
+    reference crop sizes 513/769 are odd by construction). Packed cell
+    (r, c) holds original pixels (2r-3+a, 2c-3+b), channel order (a, b, C)
+    — identical to conv2d_s2d's on-device packing, but meant to run in the
+    HOST data pipeline (numpy in, numpy out), where the gather is free.
+    The 3-pixel margin serves every stride-2 entry conv with odd padding
+    <= 3: the ResNet 7x7/pad-3 stem reads the whole tensor, the MobileNetV2
+    3x3/pad-1 stem reads the [1:-1, 1:-1] cell window (conv2d_s2d_packed).
+
+    On-device S2D (KDCC_S2D_STEM) measured a net LOSS at b16/513² (the
+    input gather cost more than the 7x7 conv saved — BASELINE.md round-3
+    A/B); this variant removes the device gather entirely (VERDICT r3
+    item 5). Total H2D bytes are unchanged (same element count).
+    """
+    import numpy as _np
+
+    mod = _np if isinstance(x, _np.ndarray) else jnp
+    n, H, W, c = x.shape
+    if H % 2 != 1 or W % 2 != 1:
+        raise ValueError(f"s2d_pack requires odd H/W, got {H}x{W}")
+    Hp, Wp = (H - 1) // 2 + 4, (W - 1) // 2 + 4
+    xp = mod.pad(x, ((0, 0), (3, 2 * Hp - H - 3), (3, 2 * Wp - W - 3),
+                     (0, 0)))
+    z = xp.reshape(n, Hp, 2, Wp, 2, c)
+    return mod.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(n, Hp, Wp, 4 * c)
+
+
+def s2d_orig_size(hp: int, wp: int) -> tuple[int, int]:
+    """Original (odd) H, W of an s2d_pack'ed tensor's spatial dims."""
+    return 2 * hp - 7, 2 * wp - 7
+
+
+def conv2d_s2d_packed(xpk, w, padding: int,
+                      dimension_numbers=("NHWC", "HWIO", "NHWC")):
+    """Stride-2 small-C_in conv consuming a HOST-packed S2D tensor.
+
+    xpk: s2d_pack(x) output (N, Hp, Wp, 4*Ci); w: (kh, kw, Ci, Co) HWIO of
+    the original k x k / stride-2 conv with symmetric odd `padding` <= 3.
+    Exact rewrite: the conv becomes a ceil(k/2)² VALID conv with a 4*Ci
+    contraction over the packed cells, starting at cell offset
+    (3 - padding) // 2. Output extent is (Hp-3, Wp-3) for every such conv
+    (all stride-2/odd-pad convs on the same odd input agree). Weight
+    transform is differentiable, so the student's entry-conv grads flow
+    through it unchanged.
+    """
+    import jax.lax as lax
+
+    kh, kw, ci, co = w.shape
+    if padding % 2 != 1 or padding > 3:
+        raise ValueError(f"conv2d_s2d_packed needs odd padding <= 3, "
+                         f"got {padding}")
+    if xpk.shape[-1] != 4 * ci:
+        raise ValueError(f"packed input has {xpk.shape[-1]} channels, "
+                         f"kernel expects {4 * ci}")
+    ka, kb = (kh + 1) // 2, (kw + 1) // 2
+    off = (3 - padding) // 2
+    n, Hp, Wp, _ = xpk.shape
+    ho, wo = Hp - 3, Wp - 3
+    v = xpk[:, off:off + ho + ka - 1, off:off + wo + kb - 1, :]
+    w2 = jnp.pad(w, ((0, 2 * ka - kh), (0, 2 * kb - kw), (0, 0), (0, 0)))
+    w2 = jnp.transpose(w2.reshape(ka, 2, kb, 2, ci, co),
+                       (0, 2, 1, 3, 4, 5)).reshape(ka, kb, 4 * ci, co)
+    return lax.conv_general_dilated(
+        v, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=dimension_numbers)
+
+
 def conv2d_s2d(x, w, padding: int):
     """Stride-2 conv with small C_in as an exact space-to-depth rewrite.
 

@@ -90,6 +90,9 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--finetune_iters", type=int, default=5000)
     p.add_argument("--cached_logits", type=str, default=None,
                    help="npz file of cached teacher logits (config #1 mode)")
+    p.add_argument("--cache_batch_size", type=int, default=None,
+                   help="batch size for the one-off teacher-logit precompute "
+                        "sweep (defaults to --val_batch_size)")
     p.add_argument("--cached_det_transform", action="store_true",
                    help="with --cached_logits: use deterministic val-style "
                         "transforms (resize+center-crop) for the train set "
@@ -358,7 +361,8 @@ def _main(argv=None) -> int:
                 print(f"Precomputing teacher logits -> {opts.cached_logits}")
                 precompute_teacher_logits(teacher, train_dst,
                                           opts.cached_logits,
-                                          batch_size=opts.val_batch_size,
+                                          batch_size=(opts.cache_batch_size
+                                                      or opts.val_batch_size),
                                           seed=opts.random_seed)
             train_dst = CachedLogitsDataset(train_dst, opts.cached_logits)
             teacher = None
@@ -455,7 +459,14 @@ def _main(argv=None) -> int:
         train_loader = make_loader(
             train_dst, batch_size=opts.batch_size, shuffle=True,
             seed=opts.random_seed, num_workers=opts.num_workers)
-    train_iter = prefetch_to_device(train_loader, mesh=mesh)
+    # host-S2D: pack train images on the host so the entry stems consume
+    # the 12-channel tensor directly (KDCC_HOST_S2D; train path only —
+    # cached-teacher mode precomputed logits against normal images, and the
+    # hint-tap/progressive paths are shape-transparent)
+    from kd_cheap_conv_tpu import config as kdcc_config
+    train_iter = prefetch_to_device(
+        train_loader, mesh=mesh,
+        host_s2d=kdcc_config.host_s2d_enabled() and not use_cached)
 
     # Build the eval step ONCE (eval-mode graphdef; cached jit across val
     # intervals — rebuilding it per call would retrace every validation).

@@ -25,11 +25,17 @@ if [ "$DATASET" = "voc" ]; then
   TEACHER=deeplabv3plus_resnet101
   CROP=513; ITRS=30000; BATCH=16; LR=0.01
   EXTRA=(--image_set trainaug --year 2012)
+  SCOPE=()                            # whole-model default replacement
 elif [ "$DATASET" = "cityscapes" ]; then
-  MODEL=deeplabv3plus_xception        # separable student via --replace below
+  MODEL=deeplabv3plus_xception
   TEACHER=deeplabv3plus_xception
   CROP=769; ITRS=90000; BATCH=8; LR=0.1
   EXTRA=()
+  # Config #3's separable student: the Xception backbone is already
+  # depthwise-separable, so the reference's `--separable_conv` analogue is
+  # converting the HEAD's dense 3x3s (ASPP + decoder). Explicit scope —
+  # the whole-model default would silently touch only the two entry convs.
+  SCOPE=(--replace_scope classifier)
 else
   echo "dataset must be voc or cityscapes" >&2; exit 2
 fi
@@ -52,7 +58,7 @@ python main.py --dataset "$DATASET" --data_root "$DATA_ROOT" \
   --batch_size "$BATCH" --lr "$LR" --total_itrs "$ITRS" \
   --val_interval 1000 --bf16 --ckpt_dir "$CKPT_DIR" "${EXTRA[@]}" \
   --kd --teacher_model "$TEACHER" --teacher_ckpt "$TEACHER_CKPT" \
-  --kd_temperature 4.0 --kd_alpha 0.5 --kd_beta 0.5
+  --kd_temperature 4.0 --kd_alpha 0.5 --kd_beta 0.5 "${SCOPE[@]}"
 
 echo "== final val (multi-scale + flip TTA, config #5 path) =="
 python main.py --dataset "$DATASET" --data_root "$DATA_ROOT" \
