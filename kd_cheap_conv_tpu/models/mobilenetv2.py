@@ -160,17 +160,12 @@ class MobileNetV2(nnx.Module):
         except AttributeError:
             return False
 
-    def _call_fused_stem(self, x):
-        """features[0].conv in XLA — emitting the channel-sublane (N,H,C,W)
-        layout straight from the conv via dimension_numbers, so no transpose
-        pass — then features[1..2] via the fused Pallas stem (ops.pallas.stem,
-        see its docstring for the why), then running-stat updates with each
-        BN's own momentum, exactly like nnx.BatchNorm."""
-        import jax
+    def _stem_inputs(self, x):
+        """(a0 channel-sublane NHCW from features[0].conv, stem param dict,
+        the six stem BNs) — shared by the NHWC and NW-handoff stem calls."""
         import jax.lax as lax
 
         from .. import config
-        from ..ops.pallas.stem import fused_stem_f1f2, fused_stem_f1f2_sharded
 
         f0, f1, f2 = self.features[0], self.features[1], self.features[2]
         w0 = f0.conv.kernel[...]
@@ -204,23 +199,101 @@ class MobileNetV2(nnx.Module):
         for i, bn in enumerate(bns):
             p[f"g{i}"] = bn.scale[...]
             p[f"b{i}"] = bn.bias[...]
-        mesh = config.active_mesh()
-        if (mesh is not None and jax.device_count() > 1
-                and a0.shape[0] % mesh.devices.size == 0):
-            # SPMD: shard_map-wrapped passes with psum'd (global) BN moments.
-            # Non-divisible batches (e.g. a stale mesh left by an unrelated
-            # in-process run) fall back to the unsharded kernel.
-            out, stats = fused_stem_f1f2_sharded(
-                a0, p, mesh, float(f0.bn.epsilon),
-                config.pallas_interpret_mode())
-        else:
-            out, stats = fused_stem_f1f2(a0, p, float(f0.bn.epsilon),
-                                         config.pallas_interpret_mode())
+        return a0, p, bns
+
+    def _ir_params(self):
+        """(IR-chain param dict, its twelve BNs in stats order)."""
+        dw = lambda kv: kv[:, :, 0, :].transpose(2, 0, 1).reshape(
+            kv.shape[3], 9)
+        pw = lambda kv: kv[0, 0].T
+        p = {}
+        bns = []
+        for i in range(4):
+            f = self.features[3 + i]
+            p[f"we{i}"] = pw(f.body[0].conv.kernel[...])
+            p[f"k{i}"] = dw(f.body[1].conv.kernel[...])
+            p[f"wp{i}"] = pw(f.pw_linear.kernel[...])
+            for tag, bn in (("e", f.body[0].bn), ("d", f.body[1].bn),
+                            ("p", f.pw_bn)):
+                p[f"g{tag}{i}"] = bn.scale[...]
+                p[f"b{tag}{i}"] = bn.bias[...]
+                bns.append(bn)
+        return p, bns
+
+    @staticmethod
+    def _update_bn_stats(bns, stats):
+        """Running-stat updates with each BN's own momentum, exactly like
+        nnx.BatchNorm."""
         for bn, (m, v) in zip(bns, stats):
             mom = bn.momentum
             bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m
             bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
+
+    def _use_sharded(self, n):
+        """SPMD: shard_map-wrapped passes with psum'd (global) BN moments.
+        Non-divisible batches (e.g. a stale mesh left by an unrelated
+        in-process run) fall back to the unsharded kernels."""
+        import jax
+
+        from .. import config
+
+        mesh = config.active_mesh()
+        if (mesh is not None and jax.device_count() > 1
+                and n % mesh.devices.size == 0):
+            return mesh
+        return None
+
+    def _call_fused_stem(self, x):
+        """features[0].conv in XLA — emitting the channel-sublane (N,H,C,W)
+        layout straight from the conv via dimension_numbers, so no transpose
+        pass — then features[1..2] via the fused Pallas stem (ops.pallas.stem,
+        see its docstring for the why)."""
+        from .. import config
+        from ..ops.pallas.stem import fused_stem_f1f2, fused_stem_f1f2_sharded
+
+        a0, p, bns = self._stem_inputs(x)
+        eps = float(self.features[0].bn.epsilon)
+        mesh = self._use_sharded(a0.shape[0])
+        if mesh is not None:
+            out, stats = fused_stem_f1f2_sharded(
+                a0, p, mesh, eps, config.pallas_interpret_mode())
+        else:
+            out, stats = fused_stem_f1f2(a0, p, eps,
+                                         config.pallas_interpret_mode())
+        self._update_bn_stats(bns, stats)
         return out
+
+    def _call_fused_stem_ir(self, x):
+        """features[0..6] with the f2 output handed from the fused stem to
+        the fused IR chain DIRECTLY in the batch-folded NW layout
+        (stem.fused_stem_f1f2_nw -> irchain.fused_ir_chain_nw) — the
+        lane-padded NHWC boundary round trip between the two chains never
+        materializes, forward or backward (VERDICT r3 item 2). Returns
+        (f6 output NHWC, low_level = f3 output NHWC)."""
+        from .. import config
+        from ..ops.pallas.irchain import (fused_ir_chain_nw,
+                                          fused_ir_chain_sharded_nw)
+        from ..ops.pallas.stem import (fused_stem_f1f2_nw,
+                                       fused_stem_f1f2_sharded_nw)
+
+        a0, sp, sbns = self._stem_inputs(x)
+        ip, ibns = self._ir_params()
+        eps = float(self.features[0].bn.epsilon)
+        interp = config.pallas_interpret_mode()
+        n, H = a0.shape[0], a0.shape[1]
+        H2, W2 = (H + 1) // 2, (a0.shape[3] + 1) // 2
+        mesh = self._use_sharded(n)
+        if mesh is not None:
+            z, sstats = fused_stem_f1f2_sharded_nw(a0, sp, mesh, eps, interp)
+            out, low, istats = fused_ir_chain_sharded_nw(
+                z, ip, mesh, n // mesh.devices.size, H2, W2, eps, interp)
+        else:
+            z, sstats = fused_stem_f1f2_nw(a0, sp, eps, interp)
+            out, low, istats = fused_ir_chain_nw(z, ip, n, H2, W2, eps,
+                                                 interp)
+        self._update_bn_stats(sbns, sstats)
+        self._update_bn_stats(ibns, istats)
+        return out, low
 
     def _fused_ir_active(self) -> bool:
         """Structural guard for the fused f3..f6 IR chain
@@ -250,42 +323,22 @@ class MobileNetV2(nnx.Module):
             return False
 
     def _call_fused_ir(self, x):
-        """features[3..6] via ops.pallas.irchain (batch-folded NW layout);
-        running-stat updates with each BN's own momentum. Returns
-        (f6 output, low_level = f3 output)."""
-        import jax
-
+        """features[3..6] via ops.pallas.irchain (batch-folded NW layout),
+        NHWC in/out (used when the fused stem is NOT active — e.g. surgery
+        inside f1/f2). Returns (f6 output, low_level = f3 output)."""
         from .. import config
         from ..ops.pallas.irchain import fused_ir_chain, fused_ir_chain_sharded
 
-        dw = lambda kv: kv[:, :, 0, :].transpose(2, 0, 1).reshape(
-            kv.shape[3], 9)
-        pw = lambda kv: kv[0, 0].T
-        p = {}
-        bns = []
-        for i in range(4):
-            f = self.features[3 + i]
-            p[f"we{i}"] = pw(f.body[0].conv.kernel[...])
-            p[f"k{i}"] = dw(f.body[1].conv.kernel[...])
-            p[f"wp{i}"] = pw(f.pw_linear.kernel[...])
-            for tag, bn in (("e", f.body[0].bn), ("d", f.body[1].bn),
-                            ("p", f.pw_bn)):
-                p[f"g{tag}{i}"] = bn.scale[...]
-                p[f"b{tag}{i}"] = bn.bias[...]
-                bns.append(bn)
+        p, bns = self._ir_params()
         eps = float(self.features[3].body[0].bn.epsilon)
-        mesh = config.active_mesh()
-        if (mesh is not None and jax.device_count() > 1
-                and x.shape[0] % mesh.devices.size == 0):
+        mesh = self._use_sharded(x.shape[0])
+        if mesh is not None:
             out, low, stats = fused_ir_chain_sharded(
                 x, p, mesh, eps, config.pallas_interpret_mode())
         else:
             out, low, stats = fused_ir_chain(
                 x, p, x.shape[0], eps, config.pallas_interpret_mode())
-        for bn, (m, v) in zip(bns, stats):
-            mom = bn.momentum
-            bn.mean[...] = mom * bn.mean[...] + (1.0 - mom) * m
-            bn.var[...] = mom * bn.var[...] + (1.0 - mom) * v
+        self._update_bn_stats(bns, stats)
         return out, low
 
     def _eval_fused_active(self) -> bool:
@@ -350,12 +403,15 @@ class MobileNetV2(nnx.Module):
         if self._eval_fused_active():
             return self._call_eval_fused(x)
         if self._fused_stem_active():
-            x = self._call_fused_stem(x)
-            start = 3
             low_level = None
             if self._fused_ir_active():
-                x, low_level = self._call_fused_ir(x)
+                # NW-layout handoff: the f2 output never leaves the padded
+                # batch-folded layout between the two fused chains
+                x, low_level = self._call_fused_stem_ir(x)
                 start = 7
+            else:
+                x = self._call_fused_stem(x)
+                start = 3
             for i, m in enumerate(self.features):
                 if i < start:
                     continue

@@ -232,6 +232,33 @@ def s2d_orig_size(hp: int, wp: int) -> tuple[int, int]:
     return 2 * hp - 7, 2 * wp - 7
 
 
+def supports_host_s2d(model) -> bool:
+    """True iff `model`'s entry stem can consume s2d_pack'ed input —
+    i.e. the standard ResNet 7x7/s2/pad3 or MobileNetV2 3x3/s2/pad1 entry
+    conv is intact (no cheap-conv surgery on it, no channel-major stem).
+    Pack sites (data pipeline / bench) must check this for EVERY model the
+    batch feeds; when any says no, keep normal 3-channel images."""
+    from ..models.mobilenetv2 import ConvBNReLU6, MobileNetV2
+    from ..models.resnet import ResNet
+
+    b = getattr(model, "backbone", model)
+    try:
+        if isinstance(b, MobileNetV2):
+            f0 = b.features[0]
+            return (isinstance(f0, ConvBNReLU6)
+                    and b.channel_major_until == 0
+                    and f0.conv.kernel_size == (3, 3)
+                    and f0.conv.stride == (2, 2)
+                    and f0.conv.padding == (1, 1))
+        if isinstance(b, ResNet):
+            c = b.stem.conv
+            return (c.kernel_size == (7, 7) and c.stride == (2, 2)
+                    and c.padding == (3, 3))
+    except AttributeError:
+        return False
+    return False
+
+
 def conv2d_s2d_packed(xpk, w, padding: int,
                       dimension_numbers=("NHWC", "HWIO", "NHWC")):
     """Stride-2 small-C_in conv consuming a HOST-packed S2D tensor.

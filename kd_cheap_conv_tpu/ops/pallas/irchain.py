@@ -183,7 +183,7 @@ def _ir_fwd_rule(x_nhwc, params, n_img, eps, interpret):
 
 
 def _ir_bwd_impl(p, stats, acts, H0, W0, g_out_nhwc, g_low_nhwc, n_img, eps,
-                 interpret, axis=None, nsh=1):
+                 interpret, axis=None, nsh=1, nw_dx=False):
     g_psum = ((lambda v: jax.lax.psum(v, axis)) if axis is not None
               else (lambda v: v))
     dt = acts[0][0].dtype
@@ -276,7 +276,9 @@ def _ir_bwd_impl(p, stats, acts, H0, W0, g_out_nhwc, g_low_nhwc, n_img, eps,
             dp[k] = v
 
     dpc = {k: v.astype(p[k].dtype) for k, v in dp.items()}
-    dx = _nw_to_nhwc(G, n_img, H0, W0)
+    # nw_dx: hand the entry cotangent back in the padded NW layout (direct
+    # stem handoff — stem's bwd slices the valid region itself)
+    dx = G if nw_dx else _nw_to_nhwc(G, n_img, H0, W0)
     return dx, dpc
 
 
@@ -288,6 +290,39 @@ def _ir_bwd_rule(n_img, eps, interpret, res, cts):
 
 
 fused_ir_chain.defvjp(_ir_fwd_rule, _ir_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_ir_chain_nw(x_nw, params, n_img, H0, W0, eps: float = 1e-5,
+                      interpret: bool = False):
+    """fused_ir_chain consuming the entry DIRECTLY in the padded NW layout
+    (1, _geom(H0)[3], 24, _lanes(n_img*W0)) — i.e. stem.fused_stem_f1f2_nw's
+    output; the entry cotangent is returned in the same layout. Eliminates
+    the lane-padded NHWC handoff both ways (VERDICT r3 item 2). Outputs
+    (f6 out, low_level) stay NHWC — they feed stock XLA modules."""
+    out, low, stats, _ = _ir_fwd(x_nw, params, n_img, H0, W0, eps, interpret)
+    flat = tuple(mv for blk in stats for mv in blk)
+    return (_nw_to_nhwc(out, n_img, (H0 + 1) // 2, (W0 + 1) // 2),
+            _nw_to_nhwc(low, n_img, H0, W0), flat)
+
+
+def _ir_nw_fwd_rule(x_nw, params, n_img, H0, W0, eps, interpret):
+    out, low, stats, acts = _ir_fwd(x_nw, params, n_img, H0, W0, eps,
+                                    interpret)
+    flat = tuple(mv for blk in stats for mv in blk)
+    y = (_nw_to_nhwc(out, n_img, (H0 + 1) // 2, (W0 + 1) // 2),
+         _nw_to_nhwc(low, n_img, H0, W0), flat)
+    return y, (params, stats, acts)
+
+
+def _ir_nw_bwd_rule(n_img, H0, W0, eps, interpret, res, cts):
+    p, stats, acts = res
+    g_out, g_low = cts[0], cts[1]
+    return _ir_bwd_impl(p, stats, acts, H0, W0, g_out, g_low, n_img, eps,
+                        interpret, nw_dx=True)
+
+
+fused_ir_chain_nw.defvjp(_ir_nw_fwd_rule, _ir_nw_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
@@ -372,6 +407,57 @@ def _sh_ir_bwd_rule(mesh, eps, interpret, res, cts):
 
 
 fused_ir_chain_sharded.defvjp(_sh_ir_fwd_rule, _sh_ir_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def fused_ir_chain_sharded_nw(x_nw, params, mesh, n_loc, H0, W0,
+                              eps: float = 1e-5, interpret: bool = False):
+    """fused_ir_chain_sharded consuming stem.fused_stem_f1f2_sharded_nw's
+    shard-major NW output (nsh, R_ir, 24, _lanes(n_loc*W0)) — one
+    (1, R, C, NWp) slice per device, no NHWC handoff. Outputs stay NHWC
+    (batch-sharded); BN stats are GLOBAL batch moments."""
+    (y, _) = _sh_ir_nw_fwd(x_nw, params, mesh, n_loc, H0, W0, eps, interpret)
+    return y
+
+
+def _sh_ir_nw_fwd(x_nw, params, mesh, n_loc, H0, W0, eps, interpret):
+    global _sharded_ir_traces
+    _sharded_ir_traces += 1
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+
+    def local(x0, p):
+        out, low, stats, acts = _ir_fwd(x0, p, n_loc, H0, W0, eps,
+                                        interpret, axis, nsh)
+        flat = tuple(mv for blk in stats for mv in blk)
+        return (_nw_to_nhwc(out, n_loc, (H0 + 1) // 2, (W0 + 1) // 2),
+                _nw_to_nhwc(low, n_loc, H0, W0), flat, stats, acts)
+
+    out, low, flat, stats, acts = _shmap(
+        local, mesh, (Pd, Pr), (Pd, Pd, Pr, Pr, Pd))(x_nw, params)
+    return ((out, low, flat), (params, stats, acts))
+
+
+def _sh_ir_nw_fwd_rule(x_nw, params, mesh, n_loc, H0, W0, eps, interpret):
+    return _sh_ir_nw_fwd(x_nw, params, mesh, n_loc, H0, W0, eps, interpret)
+
+
+def _sh_ir_nw_bwd_rule(mesh, n_loc, H0, W0, eps, interpret, res, cts):
+    p, stats, acts = res
+    g_out, g_low = cts[0], cts[1]
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+
+    def local(p, stats, acts, g_out, g_low):
+        return _ir_bwd_impl(p, stats, acts, H0, W0, g_out, g_low, n_loc,
+                            eps, interpret, axis, nsh, nw_dx=True)
+
+    dx, dp = _shmap(local, mesh, (Pr, Pr, Pd, Pd, Pd),
+                    (Pd, Pr))(p, stats, acts, g_out, g_low)
+    return dx, dp
+
+
+fused_ir_chain_sharded_nw.defvjp(_sh_ir_nw_fwd_rule, _sh_ir_nw_bwd_rule)
 
 
 # ---------------------------------------------------------------------------

@@ -1022,10 +1022,14 @@ def _run_dw_s2_bwd(gy, a_next, a_k, pn, bnk, k, Hin, Win, eps, interpret,
 # public entry: fused f1+f2 with custom VJP
 # ---------------------------------------------------------------------------
 
-def _stem_fwd(a0, p, eps, interpret, axis=None, nsh=1):
+def _stem_fwd(a0, p, eps, interpret, axis=None, nsh=1, nw_out=False):
     """a0: (N, H, C, W) channel-sublane, unpadded (LOCAL shard under
     shard_map — `axis`/`nsh` then make every BN moment global, sync-BN
-    style). Returns (out NHWC, stats, padded residual activations)."""
+    style). Returns (out, stats, padded residual activations); out is NHWC,
+    or with nw_out=True the IR-chain entry layout (1, _geom(H2)[3], C, NWp)
+    (irchain._nhwc_to_nw's output, emitted directly — the NHWC round trip
+    between the two fused chains lane-pads C=24 to 128 and cost ~1.3 ms of
+    pure layout copies per step, VERDICT r3 item 2)."""
     n, H, c0, W = a0.shape
     dt = a0.dtype
     nh, H2, nh2, R, R2 = _geom(H)
@@ -1062,7 +1066,18 @@ def _stem_fwd(a0, p, eps, interpret, axis=None, nsh=1):
     z2 = ((a5v.astype(jnp.float32) - m5[None, None, :, None])
           * (inv5 * p["g5"])[None, None, :, None]
           + p["b5"][None, None, :, None])
-    out = jnp.transpose(z2.astype(dt), (0, 1, 3, 2))     # NHCW -> NHWC
+    if nw_out:
+        # (N, H2, C, W2) -> padded (1, R_ir, C, N*W2) — one fused
+        # transpose+reshape+pad, no lane-padded NHWC intermediate
+        c5 = z2.shape[2]
+        nw = n * W2
+        z_nw = jnp.transpose(z2.astype(dt), (1, 2, 0, 3)).reshape(
+            H2, c5, nw)[None]
+        R_ir = _geom(H2)[3]
+        out = jnp.pad(z_nw, ((0, 0), (PAD, R_ir - PAD - H2), (0, 0),
+                             (0, _lanes(nw) - nw)))
+    else:
+        out = jnp.transpose(z2.astype(dt), (0, 1, 3, 2))  # NHCW -> NHWC
     stats = ((m0, v0), (m1, v1), (m2, v2), (m3, v3), (m4, v4), (m5, v5))
     acts = (a0p, a1, a2, a3, a4, a5)
     return out, stats, acts
@@ -1090,12 +1105,16 @@ def _stem_fwd_rule(a0, p, eps, interpret):
     return (out, stats), (p, stats, acts, a0.shape)
 
 
-def _stem_bwd_impl(p, stats, acts, a0_shape, g_out, eps, interpret,
+def _stem_bwd_impl(p, stats, acts, a0_shape, gz, eps, interpret,
                    axis=None, nsh=1):
     """Backward body over LOCAL shards. Under shard_map (`axis` set) every
     per-channel BN sum and weight grad is psum'd — the BN train-mode
     backward couples all images of the (global) batch, so the s* totals must
-    be global before they feed the next link's _bn_bwd_apply."""
+    be global before they feed the next link's _bn_bwd_apply.
+
+    gz: output cotangent in NHCW (N, H2, C, W2), any float dtype — the
+    custom_vjp rules adapt from NHWC (transpose) or the IR-chain NW layout
+    (slice+reshape+transpose) before calling this."""
     g_psum = ((lambda v: jax.lax.psum(v, axis)) if axis is not None
               else (lambda v: v))
     a0p, a1, a2, a3, a4, a5 = acts
@@ -1104,12 +1123,12 @@ def _stem_bwd_impl(p, stats, acts, a0_shape, g_out, eps, interpret,
     n, H = a0_shape[0], a0_shape[1]
     W = a0_shape[3]
     _, H2, _, _, R2 = _geom(H)
-    W2 = g_out.shape[2]
+    W2 = gz.shape[3]
 
     wp = _lanes(W)
     wp2 = _lanes(W2)
     # bn5 backward in XLA (small tensor, needs global sums first)
-    gz = jnp.transpose(g_out, (0, 1, 3, 2)).astype(jnp.float32)
+    gz = gz.astype(jnp.float32)
     a5v = a5[:, PAD:PAD + H2, :, :W2].astype(jnp.float32)
     inv5 = jax.lax.rsqrt(v5 + eps)
     xh5 = (a5v - m5[None, None, :, None]) * inv5[None, None, :, None]
@@ -1195,10 +1214,47 @@ def _stem_bwd_impl(p, stats, acts, a0_shape, g_out, eps, interpret,
 def _stem_bwd_rule(eps, interpret, res, cts):
     p, stats, acts, a0_shape = res
     g_out = cts[0]                                   # stats cotangents unused
-    return _stem_bwd_impl(p, stats, acts, a0_shape, g_out, eps, interpret)
+    gz = jnp.transpose(g_out, (0, 1, 3, 2))          # NHWC -> NHCW
+    return _stem_bwd_impl(p, stats, acts, a0_shape, gz, eps, interpret)
 
 
 fused_stem_f1f2.defvjp(_stem_fwd_rule, _stem_bwd_rule)
+
+
+def _nw_gz(g_nw, n, H2, W2):
+    """IR-entry-layout cotangent (1, R_ir, C, NWp) -> NHCW (N, H2, C, W2).
+    Pad rows/lanes may hold garbage from the IR backward — sliced off here."""
+    c = g_nw.shape[2]
+    v = g_nw[0, PAD:PAD + H2, :, :n * W2].reshape(H2, c, n, W2)
+    return jnp.transpose(v, (2, 0, 1, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_stem_f1f2_nw(a0, params, eps: float = 1e-5,
+                       interpret: bool = False):
+    """fused_stem_f1f2, but the f2 output is emitted in the IR chain's
+    batch-folded entry layout (1, _geom(H2)[3], 24, _lanes(N*W2)) — feed it
+    to irchain.fused_ir_chain_nw. Skips the lane-padded NHWC round trip
+    between the two fused chains in BOTH directions (VERDICT r3 item 2)."""
+    out, stats, _ = _stem_fwd(a0, params, eps, interpret, nw_out=True)
+    return out, stats
+
+
+def _stem_nw_fwd_rule(a0, p, eps, interpret):
+    out, stats, acts = _stem_fwd(a0, p, eps, interpret, nw_out=True)
+    return (out, stats), (p, stats, acts, a0.shape)
+
+
+def _stem_nw_bwd_rule(eps, interpret, res, cts):
+    p, stats, acts, a0_shape = res
+    g_nw = cts[0]
+    n, H, W = a0_shape[0], a0_shape[1], a0_shape[3]
+    H2, W2 = (H + 1) // 2, (W + 1) // 2
+    gz = _nw_gz(g_nw, n, H2, W2)
+    return _stem_bwd_impl(p, stats, acts, a0_shape, gz, eps, interpret)
+
+
+fused_stem_f1f2_nw.defvjp(_stem_nw_fwd_rule, _stem_nw_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
@@ -1268,7 +1324,8 @@ def _sh_stem_bwd_rule(mesh, eps, interpret, res, cts):
     nsh = mesh.shape[axis]
 
     def local(p, stats, acts, g_out):
-        return _stem_bwd_impl(p, stats, acts, local_shape, g_out, eps,
+        gz = jnp.transpose(g_out, (0, 1, 3, 2))      # NHWC -> NHCW
+        return _stem_bwd_impl(p, stats, acts, local_shape, gz, eps,
                               interpret, axis, nsh)
 
     da0, dp = _shmap(local, mesh, (Pr, Pr, Pd, Pd),
@@ -1277,3 +1334,54 @@ def _sh_stem_bwd_rule(mesh, eps, interpret, res, cts):
 
 
 fused_stem_f1f2_sharded.defvjp(_sh_stem_fwd_rule, _sh_stem_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_stem_f1f2_sharded_nw(a0, params, mesh, eps: float = 1e-5,
+                               interpret: bool = False):
+    """fused_stem_f1f2_sharded with the f2 output in the PER-SHARD IR entry
+    layout: global (nsh, R_ir, 24, _lanes(n_local*W2)), shard-major — feed
+    to irchain.fused_ir_chain_sharded_nw, which consumes one (1, R, C, NWp)
+    slice per device. BN stats are GLOBAL batch moments (sync-BN psum)."""
+    (out, stats), _ = _sh_stem_nw_fwd(a0, params, mesh, eps, interpret)
+    return out, stats
+
+
+def _sh_stem_nw_fwd(a0, params, mesh, eps, interpret):
+    global _sharded_stem_traces
+    _sharded_stem_traces += 1
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+    n_local = a0.shape[0] // nsh
+    local_shape = (n_local,) + a0.shape[1:]
+
+    def local(a0, p):
+        return _stem_fwd(a0, p, eps, interpret, axis, nsh, nw_out=True)
+
+    out, stats, acts = _shmap(local, mesh, (Pd, Pr), (Pd, Pr, Pd))(a0, params)
+    return (out, stats), (params, stats, acts, local_shape)
+
+
+def _sh_stem_nw_fwd_rule(a0, params, mesh, eps, interpret):
+    return _sh_stem_nw_fwd(a0, params, mesh, eps, interpret)
+
+
+def _sh_stem_nw_bwd_rule(mesh, eps, interpret, res, cts):
+    p, stats, acts, local_shape = res
+    g_nw = cts[0]                       # (nsh, R_ir, C, NWp_local)
+    axis, Pd, Pr = _sh_specs(mesh)
+    nsh = mesh.shape[axis]
+    n_loc, H, W = local_shape[0], local_shape[1], local_shape[3]
+    H2, W2 = (H + 1) // 2, (W + 1) // 2
+
+    def local(p, stats, acts, g_nw):
+        gz = _nw_gz(g_nw, n_loc, H2, W2)
+        return _stem_bwd_impl(p, stats, acts, local_shape, gz, eps,
+                              interpret, axis, nsh)
+
+    da0, dp = _shmap(local, mesh, (Pr, Pr, Pd, Pd),
+                     (Pd, Pr))(p, stats, acts, g_nw)
+    return da0, dp
+
+
+fused_stem_f1f2_sharded_nw.defvjp(_sh_stem_nw_fwd_rule, _sh_stem_nw_bwd_rule)

@@ -51,6 +51,16 @@ from .stem import (_CP, PAD, _bn_pack, _bnbwd_identity, _bnbwd_pack,
 # ~4 f32 intermediates at C=728); train passes match the irchain defaults.
 BH_XE = int(os.environ.get("KDCC_XMID_BH_EVAL", "8"))
 BH_XT = int(os.environ.get("KDCC_XMID_BH", "8"))
+# Exit-flow (tail) segments reach C=1536/2048: at bh=8 the dil-2 dw
+# BACKWARD's three double-buffered (bh+4, 1536, 256) bf16 windows alone are
+# ~57 MiB and the v5e compile OOMs at 143.9M/128M (measured, round 4).
+# Wide-channel convs drop to bh=4.
+BH_XT_WIDE = int(os.environ.get("KDCC_XMID_BH_WIDE", "4"))
+_WIDE_C = 1024
+
+
+def _bh_for(c: int) -> int:
+    return BH_XT if c < _WIDE_C else BH_XT_WIDE
 
 NCONV = 3          # sep convs per middle block
 
@@ -449,11 +459,12 @@ def _seg_fwd(x, p, pre, specs, dil, H, wseg, NW, eps, interpret, axis, nsh):
     for j, (cin, cout, act) in enumerate(specs):
         aD, mD, vD = _run_bn_dw(a_entry, entry_bn, p[f"k{pre}{j}"], H, NW,
                                 act, eps, interpret, dt, axis, nsh,
-                                wseg=wseg, bh=BH_XT, dil=dil)
+                                wseg=wseg, bh=_bh_for(cin), dil=dil)
         aP, mP, vP = _run_bn_pw(aD, _bn_pack(mD, vD, p[f"gd{pre}{j}"],
                                              p[f"bd{pre}{j}"]),
                                 p[f"w{pre}{j}"], H, NW, False, eps,
-                                interpret, dt, axis, nsh, bh=BH_XT)
+                                interpret, dt, axis, nsh,
+                                bh=_bh_for(max(cin, cout)))
         acts += [aD, aP]
         stats += [(mD, vD), (mP, vP)]
         a_entry = aP
@@ -473,7 +484,8 @@ def _seg_bwd(gy, pn, p, pre, specs, dil, acts, stats, H, wseg, NW, M, eps,
         (mD, vD), (mP, vP) = stats[2 * j], stats[2 * j + 1]
         bnD = _bn_pack(mD, vD, p[f"gd{pre}{j}"], p[f"bd{pre}{j}"])
         gyD, sD, dW = _run_pw_bwd(gy, aP, aD, pn, bnD, p[f"w{pre}{j}"],
-                                  H, NW, False, eps, interpret, dt, bh=BH_XT)
+                                  H, NW, False, eps, interpret, dt,
+                                  bh=_bh_for(max(cin, cout)))
         sD = g_psum(sD)
         dp[f"w{pre}{j}"] = dW
         dp[f"gd{pre}{j}"] = sD[:, 1]
@@ -487,7 +499,8 @@ def _seg_bwd(gy, pn, p, pre, specs, dil, acts, stats, H, wseg, NW, M, eps,
                                 p[f"bp{pre}{j - 1}"])
         gy, sE, dk = _run_dw_bwd(gyD, aD, acts[2 * j], pnD, entry_bn,
                                  p[f"k{pre}{j}"], H, NW, eps, interpret, dt,
-                                 wseg=wseg, bh=BH_XT, relu_k=act, dil=dil)
+                                 wseg=wseg, bh=_bh_for(cin), relu_k=act,
+                                 dil=dil)
         sE = g_psum(sE)
         dp[f"k{pre}{j}"] = dk
         if j > 0:

@@ -462,11 +462,15 @@ def _main(argv=None) -> int:
     # host-S2D: pack train images on the host so the entry stems consume
     # the 12-channel tensor directly (KDCC_HOST_S2D; train path only —
     # cached-teacher mode precomputed logits against normal images, and the
-    # hint-tap/progressive paths are shape-transparent)
+    # hint-tap/progressive paths are shape-transparent). Every model the
+    # batch feeds must have an intact standard entry stem.
     from kd_cheap_conv_tpu import config as kdcc_config
-    train_iter = prefetch_to_device(
-        train_loader, mesh=mesh,
-        host_s2d=kdcc_config.host_s2d_enabled() and not use_cached)
+    from kd_cheap_conv_tpu.ops.conv import supports_host_s2d
+    host_s2d = (kdcc_config.host_s2d_enabled() and not use_cached
+                and supports_host_s2d(model)
+                and (teacher is None or supports_host_s2d(teacher)))
+    train_iter = prefetch_to_device(train_loader, mesh=mesh,
+                                    host_s2d=host_s2d)
 
     # Build the eval step ONCE (eval-mode graphdef; cached jit across val
     # intervals — rebuilding it per call would retrace every validation).

@@ -303,6 +303,40 @@ def test_xtail_train_forward_and_grads():
                                    rtol=2e-3, atol=2e-3, err_msg=f"d {key}")
 
 
+def test_xtail_train_mixed_bh(monkeypatch):
+    """Adaptive wide-channel block heights (xchain._bh_for — the round-4
+    VMEM fix: the real tail at C=1536/dil=2 OOM'd v5e at bh=8). Force the
+    wide threshold below the test channels so the tail runs with MIXED
+    bh=8/bh=4 passes in one chain, and pin value + grads against the
+    uniform-bh run."""
+    from kd_cheap_conv_tpu.ops.pallas import xchain
+
+    p = _tail_params()
+    x = jnp.asarray(RNG.randn(2, 11, 9, _TA[0][0]), jnp.float32)
+    w = None
+
+    def f(x, p):
+        out, _ = fused_x_tail_train(x, p, 2, EPS, True, (_TA, _TB))
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    out1, _ = fused_x_tail_train(x, p, 2, EPS, True, (_TA, _TB))
+    w = jnp.asarray(RNG.randn(*out1.shape), jnp.float32)
+    v1, g1 = jax.value_and_grad(f)(x, p)
+
+    monkeypatch.setattr(xchain, "_WIDE_C", 128)   # _TA/_TB reach 128..256
+    out2, _ = fused_x_tail_train(x, p, 2, EPS, True, (_TA, _TB))
+    v2, g2 = jax.value_and_grad(f)(x, p)
+
+    # different grid partitions accumulate BN moments in a different order;
+    # the tiny f32 drift amplifies through six stacked train BNs (measured
+    # max abs 2.6e-6) — use the suite's kernel-parity tolerances
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_xmid_train_dilated():
     """OS8 middle blocks (dilation 2): fused train chain vs stock module
     forward + grads via the model path."""

@@ -39,7 +39,11 @@ def main():
 
     def thru_features(m, x, upto):
         mb = m.backbone
-        if upto >= 3 and mb._fused_stem_active():
+        if upto >= 7 and mb._fused_stem_active() and mb._fused_ir_active():
+            # matches the real model path: NW-layout stem->IR handoff
+            x, _ = mb._call_fused_stem_ir(x)
+            start = 7
+        elif upto >= 3 and mb._fused_stem_active():
             x = mb._call_fused_stem(x)
             start = 3
         else:
