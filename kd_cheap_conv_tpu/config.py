@@ -35,8 +35,11 @@ use_pallas_separable: bool | None = None
 
 # Fused kernel engages only for dilation >= this. Measured on v5e: the fused
 # kernel is 1.6x faster than XLA for dilated (ASPP atrous) separable pairs
-# but 0.85x for dilation-1, where XLA's own fusion is already good.
-pallas_min_dilation: int = 2
+# but 0.85x for dilation-1 AT DECODER SHAPES (129², C=304), where XLA's own
+# fusion is already good. Env KDCC_SEP_MIN_DIL overrides — the
+# backbone-replacement variant's dil-1 pairs live at 33²/C256 where the
+# tradeoff may differ (A/B knob, VERDICT r3 item 6).
+pallas_min_dilation: int = int(os.environ.get("KDCC_SEP_MIN_DIL", "2"))
 
 
 use_gemm_dilated_conv: bool | None = None

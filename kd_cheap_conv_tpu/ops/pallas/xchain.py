@@ -54,13 +54,19 @@ BH_XT = int(os.environ.get("KDCC_XMID_BH", "8"))
 # Exit-flow (tail) segments reach C=1536/2048: at bh=8 the dil-2 dw
 # BACKWARD's three double-buffered (bh+4, 1536, 256) bf16 windows alone are
 # ~57 MiB and the v5e compile OOMs at 143.9M/128M (measured, round 4).
-# Wide-channel convs drop to bh=4.
+# Wide-channel convs drop to bh=4. Window bytes scale with C x LANES, not C
+# alone: entry block3 (C=728, NW lanes 512 at 769²) OOM'd by 876K at bh=8
+# (measured, round 4) while the middle flow (C=728, lanes 256) fits — so the
+# wide cut is on the c*lanes product, calibrated to that boundary.
 BH_XT_WIDE = int(os.environ.get("KDCC_XMID_BH_WIDE", "4"))
 _WIDE_C = 1024
+_WIDE_CL = 728 * 512
 
 
-def _bh_for(c: int) -> int:
-    return BH_XT if c < _WIDE_C else BH_XT_WIDE
+def _bh_for(c: int, nw: int = 0) -> int:
+    if c >= _WIDE_C or c * _lanes(max(nw, 1)) >= _WIDE_CL:
+        return BH_XT_WIDE
+    return BH_XT
 
 NCONV = 3          # sep convs per middle block
 
@@ -202,11 +208,12 @@ def _xm_fwd(x0, p, nblk, H, wseg, NW, eps, interpret, axis=None, nsh=1,
         for i in range(NCONV):
             aD, mD, vD = _run_bn_dw(a_entry, entry_bn, p[f"k{b}_{i}"], H, NW,
                                     "relu", eps, interpret, dt, axis, nsh,
-                                    wseg=wseg, bh=BH_XT, dil=dil)
+                                    wseg=wseg, bh=_bh_for(c, NW), dil=dil)
             aP, mP, vP = _run_bn_pw(aD, _bn_pack(mD, vD, p[f"gd{b}_{i}"],
                                                  p[f"bd{b}_{i}"]),
                                     p[f"w{b}_{i}"], H, NW, False, eps,
-                                    interpret, dt, axis, nsh, bh=BH_XT)
+                                    interpret, dt, axis, nsh,
+                                    bh=_bh_for(c, NW))
             blk_acts += [aD, aP]
             blk_stats += [(mD, vD), (mP, vP)]
             a_entry = aP
@@ -261,7 +268,7 @@ def _xm_bwd(p, stats, acts, nblk, H, wseg, NW, g, eps, interpret,
             bnD = _bn_pack(mD, vD, p[f"gd{b}_{i}"], p[f"bd{b}_{i}"])
             gyD, sD, dW = _run_pw_bwd(gy, aP, aD, pn, bnD, p[f"w{b}_{i}"],
                                       H, NW, False, eps, interpret, dt,
-                                      bh=BH_XT)
+                                      bh=_bh_for(c, NW))
             sD = g_psum(sD)
             dp[f"w{b}_{i}"] = dW
             dp[f"gd{b}_{i}"] = sD[:, 1]
@@ -276,8 +283,8 @@ def _xm_bwd(p, stats, acts, nblk, H, wseg, NW, g, eps, interpret,
                                     p[f"bp{b}_{i - 1}"])
             gy, sE, dk = _run_dw_bwd(gyD, aD, a_entry, pnD, entry_bn,
                                      p[f"k{b}_{i}"], H, NW, eps, interpret,
-                                     dt, wseg=wseg, bh=BH_XT, relu_k="relu",
-                                     dil=dil)
+                                     dt, wseg=wseg, bh=_bh_for(c, NW),
+                                     relu_k="relu", dil=dil)
             sE = g_psum(sE)
             dp[f"k{b}_{i}"] = dk
             if i > 0:
@@ -459,12 +466,12 @@ def _seg_fwd(x, p, pre, specs, dil, H, wseg, NW, eps, interpret, axis, nsh):
     for j, (cin, cout, act) in enumerate(specs):
         aD, mD, vD = _run_bn_dw(a_entry, entry_bn, p[f"k{pre}{j}"], H, NW,
                                 act, eps, interpret, dt, axis, nsh,
-                                wseg=wseg, bh=_bh_for(cin), dil=dil)
+                                wseg=wseg, bh=_bh_for(cin, NW), dil=dil)
         aP, mP, vP = _run_bn_pw(aD, _bn_pack(mD, vD, p[f"gd{pre}{j}"],
                                              p[f"bd{pre}{j}"]),
                                 p[f"w{pre}{j}"], H, NW, False, eps,
                                 interpret, dt, axis, nsh,
-                                bh=_bh_for(max(cin, cout)))
+                                bh=_bh_for(max(cin, cout), NW))
         acts += [aD, aP]
         stats += [(mD, vD), (mP, vP)]
         a_entry = aP
@@ -485,7 +492,7 @@ def _seg_bwd(gy, pn, p, pre, specs, dil, acts, stats, H, wseg, NW, M, eps,
         bnD = _bn_pack(mD, vD, p[f"gd{pre}{j}"], p[f"bd{pre}{j}"])
         gyD, sD, dW = _run_pw_bwd(gy, aP, aD, pn, bnD, p[f"w{pre}{j}"],
                                   H, NW, False, eps, interpret, dt,
-                                  bh=_bh_for(max(cin, cout)))
+                                  bh=_bh_for(max(cin, cout), NW))
         sD = g_psum(sD)
         dp[f"w{pre}{j}"] = dW
         dp[f"gd{pre}{j}"] = sD[:, 1]
@@ -499,7 +506,7 @@ def _seg_bwd(gy, pn, p, pre, specs, dil, acts, stats, H, wseg, NW, M, eps,
                                 p[f"bp{pre}{j - 1}"])
         gy, sE, dk = _run_dw_bwd(gyD, aD, acts[2 * j], pnD, entry_bn,
                                  p[f"k{pre}{j}"], H, NW, eps, interpret, dt,
-                                 wseg=wseg, bh=_bh_for(cin), relu_k=act,
+                                 wseg=wseg, bh=_bh_for(cin, NW), relu_k=act,
                                  dil=dil)
         sE = g_psum(sE)
         dp[f"k{pre}{j}"] = dk
@@ -881,17 +888,21 @@ def _entry_fwd(x_nhwc, p, act1, eps, interpret, axis=None, nsh=1):
         if i < 2:
             aD, mD, vD = _run_bn_dw(a_entry, entry_bn, p[f"k{i}"], H, NW,
                                     act, eps, interpret, dt, axis, nsh,
-                                    wseg=w, bh=BH_XT)
+                                    wseg=w,
+                                    bh=_bh_for(p[f"k{i}"].shape[0], NW))
             Ho, NWo = H, NW
         else:
             aD, mD, vD = _run_bn_dw_s2(a_entry, entry_bn, p[f"k{i}"], H, NW,
                                        R2, eps, interpret, dt, axis, nsh,
-                                       n_img=n, bh=BH_XT, relu=act)
+                                       n_img=n,
+                                       bh=_bh_for(p[f"k{i}"].shape[0], NW),
+                                       relu=act)
             Ho, NWo = H2, NW2
         aP, mP, vP = _run_bn_pw(aD, _bn_pack(mD, vD, p[f"gd{i}"],
                                              p[f"bd{i}"]),
                                 p[f"w{i}"], Ho, NWo, False, eps, interpret,
-                                dt, axis, nsh, bh=BH_XT)
+                                dt, axis, nsh,
+                                bh=_bh_for(max(p[f"w{i}"].shape), NWo))
         acts += [aD, aP]
         stats += [(mD, vD), (mP, vP)]
         a_entry = aP
@@ -966,7 +977,7 @@ def _entry_bwd(p, act1, stats, acts_s, x_shape, g, eps, interpret,
         bnD = _bn_pack(mD, vD, p[f"gd{i}"], p[f"bd{i}"])
         gyD, sD, dW = _run_pw_bwd(gy, aP, aD, pn, bnD, p[f"w{i}"],
                                   Ho, NWo, False, eps, interpret, dt,
-                                  bh=BH_XT)
+                                  bh=_bh_for(max(p[f"w{i}"].shape), NWo))
         sD = g_psum(sD)
         dp[f"w{i}"] = dW
         dp[f"gd{i}"] = sD[:, 1]
@@ -987,7 +998,9 @@ def _entry_bwd(p, act1, stats, acts_s, x_shape, g, eps, interpret,
         else:
             gy, sE, dk = _run_dw_bwd(gyD, aD, acts[2 * i], pnD, entry_bn,
                                      p[f"k{i}"], H, NW, eps, interpret, dt,
-                                     wseg=w, bh=BH_XT, relu_k=act)
+                                     wseg=w,
+                                     bh=_bh_for(p[f"k{i}"].shape[0], NW),
+                                     relu_k=act)
         sE = g_psum(sE)
         dp[f"k{i}"] = dk
         if i > 0:
@@ -1133,15 +1146,17 @@ def fused_x_entry_block_eval(x_nhwc, blk, interpret: bool = False):
         wp = s.sep.pointwise.kernel[...][0, 0].T
         if i < 2:
             aD, _, _ = _run_bn_dw(a_entry, entry_bn, k, H, NW, act, eps,
-                                  interpret, dt, wseg=w, bh=BH_XT)
+                                  interpret, dt, wseg=w,
+                                  bh=_bh_for(c, NW))
             Ho, NWo = H, NW
         else:
             aD, _, _ = _run_bn_dw_s2(a_entry, entry_bn, k, H, NW, R2, eps,
-                                     interpret, dt, n_img=n, bh=BH_XT,
-                                     relu=act)
+                                     interpret, dt, n_img=n,
+                                     bh=_bh_for(c, NW), relu=act)
             Ho, NWo = H2, n * w2seg
         aP, _, _ = _run_bn_pw(aD, rs_pack(s.sep.bn_dw), wp, Ho, NWo, False,
-                              eps, interpret, dt, bh=BH_XT)
+                              eps, interpret, dt,
+                              bh=_bh_for(max(wp.shape), NWo))
         a_entry = aP
         entry_bn = rs_pack(s.bn)
         act = "relu"

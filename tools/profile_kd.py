@@ -103,7 +103,7 @@ def main(argv=None) -> int:
 
     dtype = jnp.bfloat16
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randn(opts.batch, opts.hw, opts.hw, 3), jnp.float32)
+    images_np = rng.randn(opts.batch, opts.hw, opts.hw, 3).astype(np.float32)
     labels = jnp.asarray(rng.randint(0, 21, (opts.batch, opts.hw, opts.hw)),
                          jnp.int32)
 
@@ -165,6 +165,17 @@ def main(argv=None) -> int:
             nonlocal state
             state, metrics = step_fn(state, (images, labels), t_state)
             jax.block_until_ready(metrics["loss"])
+
+    # host-S2D packing, same condition as bench.py — the slow-path combo
+    # (NW handoff x packed input) is invisible without it
+    from kd_cheap_conv_tpu import config as kdcc_config
+    from kd_cheap_conv_tpu.ops.conv import s2d_pack, supports_host_s2d
+
+    consumers = ([teacher, student] if opts.what == "kd" else [model])
+    if (kdcc_config.host_s2d_enabled()
+            and all(supports_host_s2d(m) for m in consumers)):
+        images_np = s2d_pack(images_np)
+    images = jnp.asarray(images_np)
 
     run_once()  # compile
     run_once()

@@ -1,12 +1,12 @@
 #!/bin/bash
-# Round-4b measurement queue: NW stem->IR handoff + host-S2D default-on
-# (head), the VMEM-fixed config #3 xmid A/B, the backbone-replacement
-# variant against its own v2 target, and fresh segment profiles for the
-# remaining gap clusters. Sequential — the host has one core.
+# Round-4d measurement queue (sequential; 1-core host):
+#   1. config #3 xmid A/B with the lane-aware VMEM fix (entry block3 OOM)
+#   2. backbone-replacement variant vs its v2 target, +KDCC_SEP_MIN_DIL=1 A/B
+#   3. fresh student/teacher segment profiles (post dh-fold/host-S2D/NW)
 cd "$(dirname "$0")/.."
 log=${1:-/tmp/measure/r4.log}
 mkdir -p "$(dirname "$log")"
-echo "=== $(date -u) r4b-matrix @ $(git rev-parse --short HEAD) ===" >> "$log"
+echo "=== $(date -u) r4d-matrix @ $(git rev-parse --short HEAD) ===" >> "$log"
 run() {
   name=$1; bench=$2; shift 2
   echo "--- $name : $* ---" >> "$log"
@@ -19,10 +19,9 @@ run() {
   fi
   set +o pipefail
 }
-run head-nw     bench.py
-run head-nw-nos2d bench.py KDCC_HOST_S2D=0
 run x-xmid      bench_xception.py KDCC_PALLAS_XMID=1 KDCC_FUSE_UPSAMPLE=0
 run variant     bench.py KDCC_BENCH_STUDENT=deeplabv3plus_resnet50 KDCC_BENCH_SCOPE=backbone.layer3,backbone.layer4,classifier
+run variant-d1  bench.py KDCC_BENCH_STUDENT=deeplabv3plus_resnet50 KDCC_BENCH_SCOPE=backbone.layer3,backbone.layer4,classifier KDCC_SEP_MIN_DIL=1
 run seg-student tools/bench_student_segments.py
 run seg-teacher tools/bench_teacher_segments.py
-echo "=== r4b-matrix done $(date -u) ===" >> "$log"
+echo "=== r4d-matrix done $(date -u) ===" >> "$log"
