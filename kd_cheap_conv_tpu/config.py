@@ -36,9 +36,10 @@ use_pallas_separable: bool | None = None
 # Fused kernel engages only for dilation >= this. Measured on v5e: the fused
 # kernel is 1.6x faster than XLA for dilated (ASPP atrous) separable pairs
 # but 0.85x for dilation-1 AT DECODER SHAPES (129², C=304), where XLA's own
-# fusion is already good. Env KDCC_SEP_MIN_DIL overrides — the
-# backbone-replacement variant's dil-1 pairs live at 33²/C256 where the
-# tradeoff may differ (A/B knob, VERDICT r3 item 6).
+# fusion is already good. Env KDCC_SEP_MIN_DIL overrides. A/B on the
+# backbone-replacement variant (round 4, real v5e): KDCC_SEP_MIN_DIL=1
+# (layer3's 33²/C256 dil-1 pairs + the decoder fuse) measured 175.0 vs
+# 185.98 img/s — dil-1 LOSES there too; 2 stays the default.
 pallas_min_dilation: int = int(os.environ.get("KDCC_SEP_MIN_DIL", "2"))
 
 

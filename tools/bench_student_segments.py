@@ -14,6 +14,11 @@ KDCC_PALLAS_STEM=0/1 contrasts the stem kernel vs stock XLA in this harness.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
