@@ -60,13 +60,16 @@ def main() -> None:
     rng = np.random.RandomState(0)
     images_np = rng.randn(batch, hw, hw, 3).astype(np.float32)
     from kd_cheap_conv_tpu import config as kdcc_config
-    from kd_cheap_conv_tpu.ops.conv import s2d_pack, supports_host_s2d
+    from kd_cheap_conv_tpu.ops.conv import (s2d_pack,
+                                            s2d_pack_channel_sublane,
+                                            supports_host_s2d)
     if (kdcc_config.host_s2d_enabled() and supports_host_s2d(student)
             and supports_host_s2d(teacher)):
         # KDCC_HOST_S2D: the pipeline packs on the host (overlapped with
         # the step); here it happens once outside the timed loop, which
         # measures exactly the device-side saving
-        images_np = s2d_pack(images_np)
+        images_np = s2d_pack(images_np, channel_sublane=(
+            s2d_pack_channel_sublane(student, teacher)))
     images = jnp.asarray(images_np)
     labels = jnp.asarray(rng.randint(0, 21, (batch, hw, hw)), jnp.int32)
 

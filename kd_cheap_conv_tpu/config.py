@@ -313,6 +313,31 @@ def host_s2d_enabled() -> bool:
     return True
 
 
+# f0-in-chain: the MobileNetV2 entry conv computed INSIDE the fused Pallas
+# stem as a 2x2-VALID pass over the host-packed channel-sublane S2D input
+# (s2d_pack(channel_sublane=True)). Kills the f0 cluster the round-4 xplane
+# profile itemized: 0.85 ms XLA conv + 2x ~0.49 ms layout copies + 0.76 ms
+# wgrad fusion, replaced by in-chain matmul passes (+ the host pipeline
+# emitting NHCW-packed tensors, same host transpose count). Requires
+# host-S2D; pack sites choose the NHCW form only when a MobileNetV2 fused
+# stem will actually consume it (ops.conv shape detection keeps every other
+# consumer on the dimension-numbers path). Env: KDCC_PALLAS_F0=0/1.
+use_pallas_f0: bool | None = None
+
+
+def pallas_f0_enabled() -> bool:
+    if _force_stock or not host_s2d_enabled():
+        return False
+    env = os.environ.get("KDCC_PALLAS_F0")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_pallas_f0 is not None:
+        return use_pallas_f0
+    # default-on with the stem chain (measured WIN round 4: 262.4 -> 274.8
+    # img/s at b16/513², the full ~2.6 ms f0 cluster recovered)
+    return pallas_stem_enabled()
+
+
 # Decoder concat-split: compute fuse(cat(low, up)) as fuseA(low) + fuseB(up)
 # (channel-split of the fuse kernel — exact algebra for dense AND separable
 # fuse convs), so the 304-channel concat tensor and its pad/copy glue never

@@ -70,7 +70,8 @@ def make_loader(
 
 
 def prefetch_to_device(iterator, *, mesh=None, buffer_size: int = 2,
-                       host_s2d: bool = False):
+                       host_s2d: bool = False,
+                       s2d_channel_sublane: bool = False):
     """Wrap a host batch iterator with an async device-transfer queue.
 
     With a mesh, batches land sharded over the 'data' axis; otherwise on the
@@ -82,6 +83,9 @@ def prefetch_to_device(iterator, *, mesh=None, buffer_size: int = 2,
     tensor directly (KDCC_HOST_S2D; the pack runs in the producer thread,
     overlapped with the device step). Applied only to 3-channel odd-sized
     image batches — cached-logit extras and labels pass through untouched.
+    s2d_channel_sublane: emit the (N, Hp, 12, Wp) NHCW form instead
+    (ops.conv.s2d_pack_channel_sublane decides — the fused Pallas stem's
+    f0-in-chain entry consumes it with zero device relayout).
     """
     sharding = batch_sharding(mesh) if mesh is not None else None
     q: Queue = Queue(maxsize=buffer_size)
@@ -93,7 +97,8 @@ def prefetch_to_device(iterator, *, mesh=None, buffer_size: int = 2,
                 and imgs.shape[1] % 2 == 1 and imgs.shape[2] % 2 == 1):
             from ..ops.conv import s2d_pack
 
-            return (s2d_pack(imgs), *batch[1:])
+            return (s2d_pack(imgs, channel_sublane=s2d_channel_sublane),
+                    *batch[1:])
         return batch
 
     def _producer():

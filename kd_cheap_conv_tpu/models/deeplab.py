@@ -260,12 +260,16 @@ class SegmentationModel(nnx.Module):
         from .. import config
         from ..ops.resize import resize_bilinear_nchw
 
-        if x.shape[-1] == 12 and config.host_s2d_enabled():
+        from ..ops.conv import s2d_packed_form
+
+        form = s2d_packed_form(x) if config.host_s2d_enabled() else None
+        if form is not None:
             # host-packed S2D input (ops.conv.s2d_pack): logits upsample to
             # the ORIGINAL odd resolution, not the packed extent
             from ..ops.conv import s2d_orig_size
 
-            size = s2d_orig_size(x.shape[1], x.shape[2])
+            wdim = 3 if form == "nhcw" else 2
+            size = s2d_orig_size(x.shape[1], x.shape[wdim])
         else:
             size = x.shape[1:3]
         feats = self.backbone(x)

@@ -117,12 +117,15 @@ class MobileNetV2(nnx.Module):
 
     def _apply_f0(self, x):
         """features[0] (ConvBNReLU6 3x3/s2/pad1). Consumes a host-packed
-        S2D tensor (12 channels, ops.conv.s2d_pack) via the exact 2x2 VALID
-        rewrite when KDCC_HOST_S2D is on (VERDICT r3 item 5)."""
+        S2D tensor (12 channels, ops.conv.s2d_pack — NHWC or the
+        channel-sublane NHCW form) via the exact 2x2 VALID rewrite when
+        KDCC_HOST_S2D is on (VERDICT r3 item 5)."""
         from .. import config
+        from ..ops.conv import s2d_packed_form
 
         f0 = self.features[0]
-        if not (x.shape[-1] == 12 and config.host_s2d_enabled()):
+        form = s2d_packed_form(x) if config.host_s2d_enabled() else None
+        if form is None:
             return f0(x)
         from flax import nnx as _nnx
 
@@ -136,7 +139,9 @@ class MobileNetV2(nnx.Module):
         if f0.conv.dtype is not None:
             x = x.astype(f0.conv.dtype)
             w = w.astype(f0.conv.dtype)
-        return _nnx.relu6(f0.bn(conv2d_s2d_packed(x, w, 1)))
+        dn = (("NHCW" if form == "nhcw" else "NHWC"), "HWIO", "NHWC")
+        return _nnx.relu6(f0.bn(conv2d_s2d_packed(x, w, 1,
+                                                  dimension_numbers=dn)))
 
     def _fused_stem_active(self) -> bool:
         from .. import config
@@ -162,17 +167,34 @@ class MobileNetV2(nnx.Module):
 
     def _stem_inputs(self, x):
         """(a0 channel-sublane NHCW from features[0].conv, stem param dict,
-        the six stem BNs) — shared by the NHWC and NW-handoff stem calls."""
+        the six stem BNs) — shared by the NHWC and NW-handoff stem calls.
+
+        With an NHCW-packed S2D input (KDCC_PALLAS_F0, s2d_pack
+        channel_sublane form) the entry conv moves INSIDE the Pallas chain:
+        a0 is then the packed input itself and the param dict gains the
+        hcat-packed w0 (see ops.pallas.stem f0-in-chain)."""
         import jax.lax as lax
+        import jax.numpy as jnp
 
         from .. import config
+        from ..ops.conv import s2d_packed_form
 
         f0, f1, f2 = self.features[0], self.features[1], self.features[2]
         w0 = f0.conv.kernel[...]
         if f0.conv.dtype is not None:
             x = x.astype(f0.conv.dtype)
             w0 = w0.astype(f0.conv.dtype)
-        if x.shape[-1] == 12 and config.host_s2d_enabled():
+        form = s2d_packed_form(x) if config.host_s2d_enabled() else None
+        extra = {}
+        if form == "nhcw":
+            # f0-in-chain: conv2d_s2d_packed's w2 transform, hcat-packed
+            co = w0.shape[3]
+            w2 = jnp.pad(w0, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            w2 = jnp.transpose(w2.reshape(2, 2, 2, 2, 3, co),
+                               (0, 2, 1, 3, 4, 5)).reshape(4, 12, co)
+            extra["w0"] = jnp.transpose(w2, (2, 0, 1)).reshape(co, 48)
+            a0 = x
+        elif form == "nhwc":
             # host-packed S2D input: 2x2 VALID rewrite, same NHCW emission
             from ..ops.conv import conv2d_s2d_packed
 
@@ -188,6 +210,7 @@ class MobileNetV2(nnx.Module):
             kv.shape[3], 9)
         pw = lambda kv: kv[0, 0].T
         p = {
+            **extra,
             "k1": dw(f1.body[0].conv.kernel[...]),
             "w1": pw(f1.pw_linear.kernel[...]),
             "w2": pw(f2.body[0].conv.kernel[...]),
@@ -280,8 +303,12 @@ class MobileNetV2(nnx.Module):
         ip, ibns = self._ir_params()
         eps = float(self.features[0].bn.epsilon)
         interp = config.pallas_interpret_mode()
-        n, H = a0.shape[0], a0.shape[1]
-        H2, W2 = (H + 1) // 2, (a0.shape[3] + 1) // 2
+        n = a0.shape[0]
+        if "w0" in sp:                  # f0-in-chain: a0 is the packed input
+            H, W = a0.shape[1] - 3, a0.shape[3] - 3
+        else:
+            H, W = a0.shape[1], a0.shape[3]
+        H2, W2 = (H + 1) // 2, (W + 1) // 2
         mesh = self._use_sharded(n)
         if mesh is not None:
             z, sstats = fused_stem_f1f2_sharded_nw(a0, sp, mesh, eps, interp)
@@ -422,7 +449,9 @@ class MobileNetV2(nnx.Module):
 
         cm = self.channel_major_until
         if cm > 0:
-            if x.shape[1] == 12 or x.shape[-1] == 12:
+            from ..ops.conv import s2d_packed_form
+
+            if x.shape[1] == 12 or s2d_packed_form(x) is not None:
                 raise ValueError("host-S2D packed input is not supported "
                                  "with the NCHW channel-major stem")
             # low-channel high-res stem runs NCHW: W in lanes instead of a

@@ -117,10 +117,11 @@ class ResNet(nnx.Module):
             w = w.astype(conv.dtype)
         return nnx.relu(self.stem.bn(conv2d_s2d(x, w, 3)))
 
-    def _stem_s2d_packed(self, x):
+    def _stem_s2d_packed(self, x, form: str = "nhwc"):
         """7x7/s2 stem over a HOST-packed S2D input (ops.conv.s2d_pack, 12
-        channels): the 4x4 VALID conv reads the packed tensor directly —
-        no device gather (KDCC_HOST_S2D, VERDICT r3 item 5)."""
+        channels — NHWC or the channel-sublane NHCW form): the 4x4 VALID
+        conv reads the packed tensor directly — no device gather
+        (KDCC_HOST_S2D, VERDICT r3 item 5)."""
         from ..ops.conv import conv2d_s2d_packed
 
         conv = self.stem.conv
@@ -132,7 +133,9 @@ class ResNet(nnx.Module):
         if conv.dtype is not None:
             x = x.astype(conv.dtype)
             w = w.astype(conv.dtype)
-        return nnx.relu(self.stem.bn(conv2d_s2d_packed(x, w, 3)))
+        dn = (("NHCW" if form == "nhcw" else "NHWC"), "HWIO", "NHWC")
+        return nnx.relu(self.stem.bn(conv2d_s2d_packed(
+            x, w, 3, dimension_numbers=dn)))
 
     def _maxpool(self, x):
         # torch MaxPool2d(kernel_size=3, stride=2, padding=1).
@@ -188,9 +191,11 @@ class ResNet(nnx.Module):
 
     def __call__(self, x):
         from .. import config
+        from ..ops.conv import s2d_packed_form
 
-        if x.shape[-1] == 12 and config.host_s2d_enabled():
-            x = self._stem_s2d_packed(x)
+        form = s2d_packed_form(x) if config.host_s2d_enabled() else None
+        if form is not None:
+            x = self._stem_s2d_packed(x, form)
         else:
             x = self._stem_s2d(x) if self._stem_s2d_active() else self.stem(x)
         x = self._maxpool(x)

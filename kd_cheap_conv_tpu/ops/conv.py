@@ -197,7 +197,7 @@ def fixed_padding(x: jax.Array, kh: int, kw: int, dilation: int = 1) -> jax.Arra
     return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
 
 
-def s2d_pack(x):
+def s2d_pack(x, channel_sublane: bool = False):
     """Host-side space-to-depth(2) packing with a 3-pixel zero margin.
 
     (N, H, W, C) -> (N, (H-1)//2 + 4, (W-1)//2 + 4, 4C), H/W odd (the
@@ -208,6 +208,12 @@ def s2d_pack(x):
     The 3-pixel margin serves every stride-2 entry conv with odd padding
     <= 3: the ResNet 7x7/pad-3 stem reads the whole tensor, the MobileNetV2
     3x3/pad-1 stem reads the [1:-1, 1:-1] cell window (conv2d_s2d_packed).
+
+    channel_sublane=True emits (N, Hp, 4C, Wp) NHCW instead — the layout
+    the fused Pallas stem's in-chain entry conv (ops.pallas.stem._run_f0)
+    consumes with ZERO device-side relayout (the NHWC packed form cost two
+    ~0.5 ms layout copies per step in the round-4 xplane profile). Same
+    single host transpose+copy either way; H2D bytes unchanged.
 
     On-device S2D (KDCC_S2D_STEM) measured a net LOSS at b16/513² (the
     input gather cost more than the 7x7 conv saved — BASELINE.md round-3
@@ -224,7 +230,24 @@ def s2d_pack(x):
     xp = mod.pad(x, ((0, 0), (3, 2 * Hp - H - 3), (3, 2 * Wp - W - 3),
                      (0, 0)))
     z = xp.reshape(n, Hp, 2, Wp, 2, c)
+    if channel_sublane:
+        return mod.transpose(z, (0, 1, 2, 4, 5, 3)).reshape(n, Hp, 4 * c, Wp)
     return mod.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(n, Hp, Wp, 4 * c)
+
+
+def s2d_packed_form(x) -> str | None:
+    """Which s2d_pack layout a 4-D array is in: "nhwc", "nhcw", or None.
+
+    12 packed channels (4 x RGB) are unambiguous for real inputs — no crop
+    size in the reference recipes produces a 12-wide spatial dim next to a
+    non-12 one."""
+    if getattr(x, "ndim", 0) != 4:
+        return None
+    if x.shape[-1] == 12 and x.shape[2] != 12:
+        return "nhwc"
+    if x.shape[2] == 12 and x.shape[-1] != 12:
+        return "nhcw"
+    return None
 
 
 def s2d_orig_size(hp: int, wp: int) -> tuple[int, int]:
@@ -259,18 +282,39 @@ def supports_host_s2d(model) -> bool:
     return False
 
 
+def s2d_pack_channel_sublane(*models) -> bool:
+    """Should the host emit the NHCW (channel-sublane) packed form?
+
+    True when a MobileNetV2 fused-Pallas stem with f0-in-chain enabled
+    (KDCC_PALLAS_F0) will consume the batch — that path reads NHCW with
+    zero device relayout. Every other stem handles NHCW via conv
+    dimension_numbers (XLA may insert a relayout), so the NHCW form is only
+    worth emitting when some model actually runs the Pallas entry pass.
+    Callers must already have checked supports_host_s2d for every model."""
+    from .. import config
+
+    if not (config.host_s2d_enabled() and config.pallas_f0_enabled()
+            and config.pallas_stem_enabled()):
+        return False
+    from ..models.mobilenetv2 import MobileNetV2
+
+    return any(isinstance(getattr(m, "backbone", m), MobileNetV2)
+               for m in models)
+
+
 def conv2d_s2d_packed(xpk, w, padding: int,
                       dimension_numbers=("NHWC", "HWIO", "NHWC")):
     """Stride-2 small-C_in conv consuming a HOST-packed S2D tensor.
 
-    xpk: s2d_pack(x) output (N, Hp, Wp, 4*Ci); w: (kh, kw, Ci, Co) HWIO of
-    the original k x k / stride-2 conv with symmetric odd `padding` <= 3.
-    Exact rewrite: the conv becomes a ceil(k/2)² VALID conv with a 4*Ci
-    contraction over the packed cells, starting at cell offset
-    (3 - padding) // 2. Output extent is (Hp-3, Wp-3) for every such conv
-    (all stride-2/odd-pad convs on the same odd input agree). Weight
-    transform is differentiable, so the student's entry-conv grads flow
-    through it unchanged.
+    xpk: s2d_pack(x) output (N, Hp, Wp, 4*Ci) — or its channel_sublane
+    (N, Hp, 4*Ci, Wp) form with an "NHCW" lhs spec in `dimension_numbers`.
+    w: (kh, kw, Ci, Co) HWIO of the original k x k / stride-2 conv with
+    symmetric odd `padding` <= 3. Exact rewrite: the conv becomes a
+    ceil(k/2)² VALID conv with a 4*Ci contraction over the packed cells,
+    starting at cell offset (3 - padding) // 2. Output extent is
+    (Hp-3, Wp-3) for every such conv (all stride-2/odd-pad convs on the
+    same odd input agree). Weight transform is differentiable, so the
+    student's entry-conv grads flow through it unchanged.
     """
     import jax.lax as lax
 
@@ -278,14 +322,19 @@ def conv2d_s2d_packed(xpk, w, padding: int,
     if padding % 2 != 1 or padding > 3:
         raise ValueError(f"conv2d_s2d_packed needs odd padding <= 3, "
                          f"got {padding}")
-    if xpk.shape[-1] != 4 * ci:
-        raise ValueError(f"packed input has {xpk.shape[-1]} channels, "
+    lhs = dimension_numbers[0]
+    hd, wd, cd = lhs.index("H"), lhs.index("W"), lhs.index("C")
+    if xpk.shape[cd] != 4 * ci:
+        raise ValueError(f"packed input has {xpk.shape[cd]} channels, "
                          f"kernel expects {4 * ci}")
     ka, kb = (kh + 1) // 2, (kw + 1) // 2
     off = (3 - padding) // 2
-    n, Hp, Wp, _ = xpk.shape
+    Hp, Wp = xpk.shape[hd], xpk.shape[wd]
     ho, wo = Hp - 3, Wp - 3
-    v = xpk[:, off:off + ho + ka - 1, off:off + wo + kb - 1, :]
+    ix = [slice(None)] * 4
+    ix[hd] = slice(off, off + ho + ka - 1)
+    ix[wd] = slice(off, off + wo + kb - 1)
+    v = xpk[tuple(ix)]
     w2 = jnp.pad(w, ((0, 2 * ka - kh), (0, 2 * kb - kw), (0, 0), (0, 0)))
     w2 = jnp.transpose(w2.reshape(ka, 2, kb, 2, ci, co),
                        (0, 2, 1, 3, 4, 5)).reshape(ka, kb, 4 * ci, co)

@@ -410,6 +410,163 @@ def _bn_dw_s2_body(xp, bn_ref, k_ref, s0_ref, s1_ref, s2_ref,
 
 
 # ---------------------------------------------------------------------------
+# f0-in-chain: the MobileNetV2 entry conv (3x3 / stride-2 / pad-1), consumed
+# as its host-packed S2D 2x2-VALID rewrite (ops.conv.s2d_pack with
+# channel_sublane=True -> (N, Hp, 12, Wp) NHCW), computed INSIDE the fused
+# stem chain. Round-4 xplane profile of the stock entry: 0.85 ms XLA conv +
+# two ~0.49 ms layout copies + 0.76 ms wgrad fusion per step at b16/513² —
+# all four replaced by in-chain matmul passes with zero layout glue.
+#
+# Geometry: a0 output row R taps packed rows R+1, R+2 and, at output lane w,
+# packed lanes w+1+dw (the conv2d_s2d_packed off=1 window for padding=1).
+# hcat stacking: the four (dh, dw) taps concatenate 12-channel sublane
+# blocks in (dh, dw)-major order, so the whole 2x2x12 contraction is ONE
+# (32, 48) x (48, Wp) matmul per row; w0 param = transpose(w2.reshape(4, 12,
+# 32), (2, 0, 1)).reshape(32, 48) of conv2d_s2d_packed's w2.
+# ---------------------------------------------------------------------------
+
+
+def _f0_hcat(v, bh):
+    """v (bh+1, 12, Wp) f32 packed rows j*bh+1.. -> (bh, 48, Wp) tap stack.
+    v1/v2 = lanes shifted left by 1/2; real packed lanes (Wr = W+3) cover
+    every valid read (w+2 <= W+1 < Wr), and the circular wrap only lands on
+    pad lanes, which the caller masks off the result."""
+    Wp = v.shape[2]
+    v1 = pltpu.roll(v, Wp - 1, axis=2)
+    v2 = pltpu.roll(v, Wp - 2, axis=2)
+    return jnp.concatenate(
+        [v1[:bh], v2[:bh], v1[1:bh + 1], v2[1:bh + 1]], axis=1)
+
+
+def _k_f0(v_ref, w_ref, y_ref, s_ref, *, bh, H, W):
+    """2x2-VALID entry conv + bn0 moment sums. v (1, bh+1, 12, Wp) packed
+    rows j*bh+1..; w (32, 48); out a0 block (1, bh, 32, Wp)."""
+    j = pl.program_id(1)
+    v = v_ref[0].astype(jnp.float32)
+    hcat = _f0_hcat(v, bh)
+    w0 = w_ref[...]
+    rows = [_mm(w0, hcat[r], y_ref.dtype) for r in range(bh)]
+    y = jnp.stack(rows, axis=0)                      # (bh, 32, Wp)
+    y = _mask_lanes(y, W)                            # roll wrap on pad lanes
+    y_ref[0] = y.astype(y_ref.dtype)
+    m = _rows_in(bh, j, bh, 0, H)
+    _accum(s_ref, j, _stats_tile(y, m, y.shape[1]))
+
+
+def _f0_vspec(ci, wp, bh):
+    """Element window (1, bh+1, ci, wp) over the RAW packed-row indexing
+    (a0 row j*bh+r taps packed rows j*bh+r+1, +2 — no PAD offset)."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 1), pl.Element(ci),
+         pl.Element(wp)),
+        lambda i, j: (i, j * bh + 1, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+def _run_f0(vp, w0, H, W, R, interpret, out_dtype, axis=None, nsh=1, bh=BH):
+    """vp (N, Rv, 12, Wp) zero-padded channel-sublane packed input; w0
+    (32, 48). Returns (a0p (N, R, 32, Wp) in the chain's padded layout —
+    rows outside [PAD, PAD+nh*bh) are UNWRITTEN garbage, which every
+    downstream halo read already masks — plus bn0 batch mean/var)."""
+    n, _, ci, wp = vp.shape
+    nh = pl.cdiv(H, bh)
+    co = w0.shape[0]
+    y, sums = pl.pallas_call(
+        functools.partial(_k_f0, bh=bh, H=H, W=W),
+        out_shape=(jax.ShapeDtypeStruct((n, R, co, wp), out_dtype),
+                   jax.ShapeDtypeStruct((n, co, 128), jnp.float32)),
+        grid=(n, nh),
+        in_specs=[_f0_vspec(ci, wp, bh), _const((co, 4 * ci))],
+        out_specs=(_blk(co, wp, bh), _stats_out(co)),
+        interpret=interpret,
+        compiler_params=_CP,
+    )(vp, w0)
+    mean, var = _moments(sums, float(n * H * W) * nsh, axis)
+    return y, mean, var
+
+
+def _k_f0_wgrad(gy_ref, a_ref, v_ref, pn_ref, dw_ref, *, bh, H, W, eps):
+    """dW0 accumulation: ga = bn0 train backward of gy0 (relu6' already
+    applied by the dw1 backward pass), then dW0^T += hcat @ ga^T per row."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    gy = gy_ref[0].astype(jnp.float32)               # (bh, 32, Wp)
+    a = a_ref[0].astype(jnp.float32)
+    ga = _bn_bwd_apply(gy, a, pn_ref[...].astype(jnp.float32), eps)
+    ga = jnp.where(_rows_in(bh, j, bh, 0, H), ga, 0.0)
+    ga = _mask_lanes(ga, W)
+    hcat = _f0_hcat(v_ref[0].astype(jnp.float32), bh)
+    mdt = gy_ref.dtype
+    dims = (((1,), (1,)), ((), ()))                  # contract lanes
+    tile = jnp.zeros((hcat.shape[1], ga.shape[1]), jnp.float32)
+    for r in range(bh):
+        tile += jax.lax.dot_general(hcat[r].astype(mdt), ga[r].astype(mdt),
+                                    dims,
+                                    preferred_element_type=jnp.float32)
+    _accum_global(dw_ref, i, j, tile)
+
+
+def _k_f0_xgrad(gy_ref, a_ref, pn_ref, w_ref, gv_ref, *, bh, H, W, eps):
+    """gxpk rows j*bh..: gv[rx] = sum_t W2[t] @ (ga rows rx-1-dh, lanes
+    shifted right by 1+dw) — the exact transpose of _k_f0's taps. Separate
+    pallas_call so XLA dead-code-eliminates it when the input cotangent is
+    unused (the real KD step takes grads only w.r.t. params)."""
+    j = pl.program_id(1)
+    gy = gy_ref[0].astype(jnp.float32)               # (bh+1, 32, Wp)
+    a = a_ref[0].astype(jnp.float32)
+    ga = _bn_bwd_apply(gy, a, pn_ref[...].astype(jnp.float32), eps)
+    ga = jnp.where(_rows_in(bh + 1, j, bh, -2, H), ga, 0.0)
+    ga = _mask_lanes(ga, W)
+    Wp = ga.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Wp), 2)
+    g1 = jnp.where(lane >= 1, pltpu.roll(ga, 1, axis=2), 0.0)
+    g2 = jnp.where(lane >= 2, pltpu.roll(ga, 2, axis=2), 0.0)
+    w0g = w_ref[...]                                 # (12, 128)
+    rows = []
+    for r in range(bh):
+        gcat = jnp.concatenate([g1[r + 1], g2[r + 1], g1[r], g2[r]], axis=0)
+        rows.append(_mm(w0g, gcat, gv_ref.dtype))
+    gv_ref[0] = jnp.stack(rows, axis=0).astype(gv_ref.dtype)
+
+
+def _run_f0_bwd(gy, a0p, vp, pn0, w0g, H, W, eps, interpret, gdt, bh=BH):
+    """Backward of _run_f0 given gy0/a0p from the dw1 backward pass.
+    Returns (dW0^T (48, 32) f32, gxpk (N, nh_gv*bh, 12, Wp) — slice to the
+    packed input extent)."""
+    n, R, c0, wp = gy.shape
+    ci = vp.shape[2]
+    nh = pl.cdiv(H, bh)
+    dw0t = pl.pallas_call(
+        functools.partial(_k_f0_wgrad, bh=bh, H=H, W=W, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((4 * ci, c0), jnp.float32),
+        grid=(n, nh),
+        in_specs=[_blk(c0, wp, bh), _blk(c0, wp, bh), _f0_vspec(ci, wp, bh),
+                  _const((c0, 6))],
+        out_specs=pl.BlockSpec((4 * ci, c0), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=_CP,
+    )(gy, a0p, vp, pn0)
+
+    nh_gv = pl.cdiv(H + 3, bh)                       # cover the packed rows
+    halo2 = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 1), pl.Element(c0),
+         pl.Element(wp)),
+        lambda i, j: (i, PAD + j * bh - 2, 0, 0),
+        memory_space=pltpu.VMEM)
+    gv = pl.pallas_call(
+        functools.partial(_k_f0_xgrad, bh=bh, H=H, W=W, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((n, nh_gv * bh, ci, wp), gdt),
+        grid=(n, nh_gv),
+        in_specs=[halo2, halo2, _const((c0, 6)), _const((ci, 4 * c0))],
+        out_specs=pl.BlockSpec((1, bh, ci, wp), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=_CP,
+    )(gy, a0p, pn0, w0g)
+    return dw0t, gv
+
+
+# ---------------------------------------------------------------------------
 # forward pass drivers — all operate on the uniform padded layout
 # (N, R, C, W) with valid data at rows [PAD, PAD+H).
 # ---------------------------------------------------------------------------
@@ -1030,21 +1187,33 @@ def _stem_fwd(a0, p, eps, interpret, axis=None, nsh=1, nw_out=False):
     (irchain._nhwc_to_nw's output, emitted directly — the NHWC round trip
     between the two fused chains lane-pads C=24 to 128 and cost ~1.3 ms of
     pure layout copies per step, VERDICT r3 item 2)."""
-    n, H, c0, W = a0.shape
+    f0_in = "w0" in p                # a0 is the NHCW-packed S2D input
+    if f0_in:
+        n, Hp, _, Wr = a0.shape
+        H, W = Hp - 3, Wr - 3
+    else:
+        n, H, c0, W = a0.shape
     dt = a0.dtype
     nh, H2, nh2, R, R2 = _geom(H)
     wp = _lanes(W)
     W2 = (W + 1) // 2
-    a0p = jnp.pad(a0, ((0, 0), (PAD, R - PAD - H), (0, 0), (0, wp - W)))
-    # bn0 batch moments in XLA — fuses with the producing conv epilogue
-    a0f = a0.astype(jnp.float32)
-    s0m = a0f.sum(axis=(0, 1, 3))
-    s0s2 = (a0f * a0f).sum(axis=(0, 1, 3))
-    if axis is not None:
-        s0m, s0s2 = jax.lax.psum((s0m, s0s2), axis)
-    cnt0 = float(n * H * W) * nsh
-    m0 = s0m / cnt0
-    v0 = s0s2 / cnt0 - m0 * m0
+    if f0_in:
+        Rv = nh * BH + 2                 # last f0 window reads packed row
+        assert wp >= Wr and Rv >= Hp, (wp, Wr, Rv, Hp)  # nh*BH + 1
+        vp = jnp.pad(a0, ((0, 0), (0, Rv - Hp), (0, 0), (0, wp - Wr)))
+        a0p, m0, v0 = _run_f0(vp, p["w0"], H, W, R, interpret, dt, axis, nsh)
+    else:
+        vp = None
+        a0p = jnp.pad(a0, ((0, 0), (PAD, R - PAD - H), (0, 0), (0, wp - W)))
+        # bn0 batch moments in XLA — fuses with the producing conv epilogue
+        a0f = a0.astype(jnp.float32)
+        s0m = a0f.sum(axis=(0, 1, 3))
+        s0s2 = (a0f * a0f).sum(axis=(0, 1, 3))
+        if axis is not None:
+            s0m, s0s2 = jax.lax.psum((s0m, s0s2), axis)
+        cnt0 = float(n * H * W) * nsh
+        m0 = s0m / cnt0
+        v0 = s0s2 / cnt0 - m0 * m0
     a1, m1, v1 = _run_bn_dw(a0p, _bn_pack(m0, v0, p["g0"], p["b0"]),
                             p["k1"], H, W, True, eps, interpret, dt,
                             axis, nsh)
@@ -1079,7 +1248,7 @@ def _stem_fwd(a0, p, eps, interpret, axis=None, nsh=1, nw_out=False):
     else:
         out = jnp.transpose(z2.astype(dt), (0, 1, 3, 2))  # NHCW -> NHWC
     stats = ((m0, v0), (m1, v1), (m2, v2), (m3, v3), (m4, v4), (m5, v5))
-    acts = (a0p, a1, a2, a3, a4, a5)
+    acts = (a0p, a1, a2, a3, a4, a5, vp)
     return out, stats, acts
 
 
@@ -1094,6 +1263,11 @@ def fused_stem_f1f2(a0, params, eps: float = 1e-5,
       k1 (32,9) dw kernel [dh*3+dw]; w1 (16,32), w2 (96,16), w3 (24,96)
       pointwise [Co,Ci]; k2 (96,9) stride-2 dw; g*/b* the six BN affine
       pairs (bn0=stem bn .. bn5=f2.pw_bn).
+    f0-in-chain mode (KDCC_PALLAS_F0): params additionally hold w0 (32, 48)
+    — the hcat-packed 2x2-VALID rewrite of the 3x3/s2/pad1 entry conv — and
+    a0 is then the HOST-PACKED channel-sublane S2D input (N, H+3, 12, W+3)
+    from ops.conv.s2d_pack(channel_sublane=True); the entry conv runs as an
+    extra Pallas pass (fwd + wgrad/input-grad), with zero XLA layout glue.
     Returns (f2 output (N, H', W', 24) NHWC, tuple of 6 (mean, var)).
     """
     out, stats, _ = _stem_fwd(a0, params, eps, interpret)
@@ -1117,11 +1291,15 @@ def _stem_bwd_impl(p, stats, acts, a0_shape, gz, eps, interpret,
     (slice+reshape+transpose) before calling this."""
     g_psum = ((lambda v: jax.lax.psum(v, axis)) if axis is not None
               else (lambda v: v))
-    a0p, a1, a2, a3, a4, a5 = acts
+    a0p, a1, a2, a3, a4, a5, vp = acts
     dt = a0p.dtype
     (m0, v0), (m1, v1), (m2, v2), (m3, v3), (m4, v4), (m5, v5) = stats
-    n, H = a0_shape[0], a0_shape[1]
-    W = a0_shape[3]
+    f0_in = "w0" in p                # a0_shape is then the packed-input shape
+    n = a0_shape[0]
+    if f0_in:
+        H, W = a0_shape[1] - 3, a0_shape[3] - 3
+    else:
+        H, W = a0_shape[1], a0_shape[3]
     _, H2, _, _, R2 = _geom(H)
     W2 = gz.shape[3]
 
@@ -1177,19 +1355,33 @@ def _stem_bwd_impl(p, stats, acts, a0_shape, gz, eps, interpret,
                                H, W, eps, interpret, dt)
     s0 = g_psum(s0)
 
+    if f0_in:
+        # bn0 backward + the entry-conv wgrad/input-grad inside Pallas —
+        # ga0 never materializes, and dW0 needs no XLA layout copies
+        pn0 = _bnbwd_pack(m0, v0, p["g0"], s0[:, 0], s0[:, 1], M)
+        c0 = p["w0"].shape[0]
+        w0g = jnp.transpose(p["w0"].reshape(c0, 4, 12),
+                            (2, 1, 0)).reshape(12, 4 * c0)
+        dW0t, gv = _run_f0_bwd(gy0, a0p, vp, pn0, w0g, H, W, eps,
+                               interpret, dt)
+        if axis is not None:
+            dW0t = jax.lax.psum(dW0t, axis)
+        da0 = gv[:, :a0_shape[1], :, :a0_shape[3]].astype(dt)
+        dW0 = jnp.transpose(dW0t)
+    else:
+        # bn0 backward in XLA on the unpadded slice
+        gy0v = gy0[:, PAD:PAD + H, :, :W].astype(jnp.float32)
+        a0v = a0p[:, PAD:PAD + H, :, :W].astype(jnp.float32)
+        inv0 = jax.lax.rsqrt(v0 + eps)
+        xh0 = (a0v - m0[None, None, :, None]) * inv0[None, None, :, None]
+        ga0 = (p["g0"] * inv0)[None, None, :, None] * (
+            gy0v - (s0[:, 0] / M)[None, None, :, None]
+            - xh0 * (s0[:, 1] / M)[None, None, :, None])
+        da0 = ga0.astype(dt)
+
     if axis is not None:
         dW1, dW2, dW3, dk1, dk2 = jax.lax.psum((dW1, dW2, dW3, dk1, dk2),
                                                axis)
-
-    # bn0 backward in XLA on the unpadded slice
-    gy0v = gy0[:, PAD:PAD + H, :, :W].astype(jnp.float32)
-    a0v = a0p[:, PAD:PAD + H, :, :W].astype(jnp.float32)
-    inv0 = jax.lax.rsqrt(v0 + eps)
-    xh0 = (a0v - m0[None, None, :, None]) * inv0[None, None, :, None]
-    ga0 = (p["g0"] * inv0)[None, None, :, None] * (
-        gy0v - (s0[:, 0] / M)[None, None, :, None]
-        - xh0 * (s0[:, 1] / M)[None, None, :, None])
-    da0 = ga0.astype(dt)
 
     dp = {
         "k1": dk1.astype(p["k1"].dtype), "k2": dk2.astype(p["k2"].dtype),
@@ -1208,6 +1400,8 @@ def _stem_bwd_impl(p, stats, acts, a0_shape, gz, eps, interpret,
         "g5": sgx5.astype(p["g5"].dtype),
         "b5": sg5.astype(p["b5"].dtype),
     }
+    if f0_in:
+        dp["w0"] = dW0.astype(p["w0"].dtype)
     return da0, dp
 
 
@@ -1245,10 +1439,19 @@ def _stem_nw_fwd_rule(a0, p, eps, interpret):
     return (out, stats), (p, stats, acts, a0.shape)
 
 
+def _stem_hw(p, a0_shape):
+    """(H, W) of the f0 conv OUTPUT — a0_shape is the packed-input shape in
+    f0-in-chain mode (ops.conv.s2d_pack extent = H + 3)."""
+    if "w0" in p:
+        return a0_shape[1] - 3, a0_shape[3] - 3
+    return a0_shape[1], a0_shape[3]
+
+
 def _stem_nw_bwd_rule(eps, interpret, res, cts):
     p, stats, acts, a0_shape = res
     g_nw = cts[0]
-    n, H, W = a0_shape[0], a0_shape[1], a0_shape[3]
+    n = a0_shape[0]
+    H, W = _stem_hw(p, a0_shape)
     H2, W2 = (H + 1) // 2, (W + 1) // 2
     gz = _nw_gz(g_nw, n, H2, W2)
     return _stem_bwd_impl(p, stats, acts, a0_shape, gz, eps, interpret)
@@ -1371,7 +1574,8 @@ def _sh_stem_nw_bwd_rule(mesh, eps, interpret, res, cts):
     g_nw = cts[0]                       # (nsh, R_ir, C, NWp_local)
     axis, Pd, Pr = _sh_specs(mesh)
     nsh = mesh.shape[axis]
-    n_loc, H, W = local_shape[0], local_shape[1], local_shape[3]
+    n_loc = local_shape[0]
+    H, W = _stem_hw(p, local_shape)
     H2, W2 = (H + 1) // 2, (W + 1) // 2
 
     def local(p, stats, acts, g_nw):

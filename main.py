@@ -465,12 +465,16 @@ def _main(argv=None) -> int:
     # hint-tap/progressive paths are shape-transparent). Every model the
     # batch feeds must have an intact standard entry stem.
     from kd_cheap_conv_tpu import config as kdcc_config
-    from kd_cheap_conv_tpu.ops.conv import supports_host_s2d
+    from kd_cheap_conv_tpu.ops.conv import (s2d_pack_channel_sublane,
+                                            supports_host_s2d)
     host_s2d = (kdcc_config.host_s2d_enabled() and not use_cached
                 and supports_host_s2d(model)
                 and (teacher is None or supports_host_s2d(teacher)))
+    s2d_cw = host_s2d and s2d_pack_channel_sublane(
+        *([model] if teacher is None else [model, teacher]))
     train_iter = prefetch_to_device(train_loader, mesh=mesh,
-                                    host_s2d=host_s2d)
+                                    host_s2d=host_s2d,
+                                    s2d_channel_sublane=s2d_cw)
 
     # Build the eval step ONCE (eval-mode graphdef; cached jit across val
     # intervals — rebuilding it per call would retrace every validation).

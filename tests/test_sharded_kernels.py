@@ -127,6 +127,50 @@ def test_fused_stem_sharded_matches_single():
                                    rtol=2e-3, atol=2e-3, err_msg=f"d {key}")
 
 
+def test_fused_stem_f0_sharded_matches_single():
+    """Sharded stem in f0-in-chain mode (packed NHCW input, w0 param): the
+    entry-pass bn0 moments and dW0 are psum'd like every other stem stat."""
+    from test_pallas_stem import _params, _w0_param, EPS
+    from kd_cheap_conv_tpu.ops.conv import s2d_pack
+    from kd_cheap_conv_tpu.ops.pallas.stem import (fused_stem_f1f2,
+                                                   fused_stem_f1f2_sharded)
+
+    mesh = make_mesh()
+    p = _params()
+    p["w0"] = _w0_param(
+        jnp.asarray(RNG.randn(3, 3, 3, 32).astype(np.float32) * 0.3))
+    x = jnp.asarray(RNG.randn(8, 17, 17, 3), jnp.float32)
+    xpk = s2d_pack(x, channel_sublane=True)
+    w = jnp.asarray(RNG.randn(8, 5, 5, 24), jnp.float32)
+
+    def f_single(xpk, p):
+        out, stats = fused_stem_f1f2(xpk, p, EPS, True)
+        return jnp.sum(out * w), stats
+
+    (v1, st1), g1 = jax.value_and_grad(f_single, argnums=(0, 1),
+                                       has_aux=True)(xpk, p)
+
+    xpks, ws = _sharded(mesh, xpk, w)
+
+    def f_sh(xpks, p):
+        out, stats = fused_stem_f1f2_sharded(xpks, p, mesh, EPS, True)
+        return jnp.sum(out * ws), stats
+
+    (v2, st2), g2 = jax.jit(jax.value_and_grad(f_sh, argnums=(0, 1),
+                                               has_aux=True))(xpks, p)
+
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-4)
+    for k, ((m2, vv2), (m1, vv1)) in enumerate(zip(st2, st1)):
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"mean{k}")
+    np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
+                               rtol=2e-3, atol=2e-4, err_msg="d xpk")
+    for key in sorted(p):
+        np.testing.assert_allclose(np.asarray(g2[1][key]),
+                                   np.asarray(g1[1][key]),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d {key}")
+
+
 @pytest.mark.slow
 def test_kd_step_mesh_uses_fused_paths():
     """End-to-end: the jitted KD step on the mesh routes through BOTH

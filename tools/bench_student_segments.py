@@ -54,7 +54,7 @@ def main():
         else:
             start = 0
         for i in range(start, upto):
-            x = mb.features[i](x)
+            x = mb._apply_f0(x) if i == 0 else mb.features[i](x)
         return x
 
     def seg(upto):
@@ -73,7 +73,15 @@ def main():
             "q3_backbone": seg(18), "q3a_aspp": thru_aspp, "q4_full": full}
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(B, S, S, 3), jnp.bfloat16)
+    x_np = rng.randn(B, S, S, 3).astype(np.float32)
+    from kd_cheap_conv_tpu import config as kdcc_config
+    from kd_cheap_conv_tpu.ops.conv import (s2d_pack,
+                                            s2d_pack_channel_sublane,
+                                            supports_host_s2d)
+    if kdcc_config.host_s2d_enabled() and supports_host_s2d(model):
+        x_np = s2d_pack(x_np,
+                        channel_sublane=s2d_pack_channel_sublane(model))
+    x = jnp.asarray(x_np, jnp.bfloat16)
 
     def _sq(y):
         return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-6
