@@ -33,14 +33,18 @@ def stock_graph():
 
 use_pallas_separable: bool | None = None
 
-# Fused kernel engages only for dilation >= this. Measured on v5e: the fused
-# kernel is 1.6x faster than XLA for dilated (ASPP atrous) separable pairs
-# but 0.85x for dilation-1 AT DECODER SHAPES (129², C=304), where XLA's own
-# fusion is already good. Env KDCC_SEP_MIN_DIL overrides. A/B on the
-# backbone-replacement variant (round 4, real v5e): KDCC_SEP_MIN_DIL=1
-# (layer3's 33²/C256 dil-1 pairs + the decoder fuse) measured 175.0 vs
-# 185.98 img/s — dil-1 LOSES there too; 2 stays the default.
-pallas_min_dilation: int = int(os.environ.get("KDCC_SEP_MIN_DIL", "2"))
+# Fused kernel engages only for dilation >= this. Default 0 = NEVER (the
+# kernel is opt-in). History: round 1 measured it 1.6x vs XLA standalone for
+# dilated (ASPP atrous) pairs and 0.85x for dilation-1 at decoder shapes
+# (129², C=304), so >=2 was the round 1-4a default. Round-4 in-context A/B
+# on v5e at b16/513² REVERSED it: KDCC_SEP_MIN_DIL=99 (all separable pairs
+# through XLA) measured 289.5 vs 274.9 img/s — the only default-engaged
+# sites left are the three 33² ASPP branches, where the per-image grid is
+# latency-bound (~0.55 ms/conv vs a ~0.05 ms floor; round-4 xplane) and the
+# custom_vjp backward recomputes the depthwise via XLA anyway. The dil-1
+# variant also lost (175.0 vs 186.0 on the backbone-replacement bench).
+# Env KDCC_SEP_MIN_DIL re-enables (e.g. =2 restores the old gating).
+pallas_min_dilation: int = int(os.environ.get("KDCC_SEP_MIN_DIL", "0"))
 
 
 use_gemm_dilated_conv: bool | None = None

@@ -63,6 +63,7 @@ class AtrousSeparableConvolution(nnx.Module):
 
         self._fusable = bool(
             config.pallas_separable_enabled()
+            and config.pallas_min_dilation > 0      # 0 = kernel disabled
             and self.depthwise.dilation[0] >= config.pallas_min_dilation
             and supports_fused_separable(
                 stride=self.depthwise.stride, padding=self.depthwise.padding,

@@ -47,14 +47,15 @@ def test_polluted_construction_traces_stock():
 
     from kd_cheap_conv_tpu.kd.replace import AtrousSeparableConvolution
 
-    prev = config.use_pallas_separable
+    prev = (config.use_pallas_separable, config.pallas_min_dilation)
     config.use_pallas_separable = True
+    config.pallas_min_dilation = 2   # kernel default-disabled since round 4
     try:
         m = AtrousSeparableConvolution(16, 32, 3, padding=2, dilation=2,
                                        rngs=nnx.Rngs(0))
         assert m._fusable, "test needs a construction-time fused decision"
     finally:
-        config.use_pallas_separable = prev
+        config.use_pallas_separable, config.pallas_min_dilation = prev
 
     x = jnp.zeros((1, 16, 16, 16), jnp.float32)
     with config.stock_graph():

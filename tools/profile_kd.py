@@ -87,7 +87,8 @@ def main(argv=None) -> int:
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--what", default="kd",
-                    choices=["kd", "teacher", "student", "student_step"])
+                    choices=["kd", "teacher", "student", "student_step",
+                             "head"])
     ap.add_argument("--dir", default=None, help="keep the trace here")
     opts = ap.parse_args(argv)
 
@@ -126,6 +127,40 @@ def main(argv=None) -> int:
             nonlocal mstate
             out = fwd(mstate, images)
             jax.block_until_ready(out)
+    elif opts.what == "head":
+        # ASPP + decoder + classifier fwd+bwd only (train mode), driven from
+        # precomputed backbone features — isolates the 11 ms aspp+decoder
+        # cluster (VERDICT r3 item 3) without backbone noise
+        model = build_model(opts.student, num_classes=21, output_stride=16,
+                            dtype=dtype, rngs=nnx.Rngs(0))
+        replace_cheap_convs(model, CheapConvSpec(kind="separable"),
+                            scope=opts.scope)
+        model.train()
+        graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+        feats = jax.jit(lambda: model.backbone(
+            jnp.asarray(images_np, dtype)))()
+        feats = jax.tree.map(jax.lax.stop_gradient, feats)
+        carry0 = jnp.zeros((), jnp.float32)
+
+        @jax.jit
+        def prog(params, rest, carry):
+            m = nnx.merge(graphdef, params, rest)
+
+            def loss_fn(m):
+                f = {k: v + carry.astype(v.dtype) for k, v in feats.items()}
+                y = m.classifier(f)
+                return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-6
+
+            loss, grads = nnx.value_and_grad(loss_fn)(m)
+            gsum = sum(jnp.sum(g.astype(jnp.float32))
+                       for g in jax.tree.leaves(grads))
+            return (loss + gsum) * 1e-9
+
+        state_c = [carry0]
+
+        def run_once():
+            state_c[0] = prog(params, rest, state_c[0])
+            jax.block_until_ready(state_c[0])
     elif opts.what == "student_step":
         # student fwd+bwd+SGD only (plain CE step) — isolates the student
         # side of the KD budget
@@ -169,12 +204,15 @@ def main(argv=None) -> int:
     # host-S2D packing, same condition as bench.py — the slow-path combo
     # (NW handoff x packed input) is invisible without it
     from kd_cheap_conv_tpu import config as kdcc_config
-    from kd_cheap_conv_tpu.ops.conv import s2d_pack, supports_host_s2d
+    from kd_cheap_conv_tpu.ops.conv import (s2d_pack,
+                                            s2d_pack_channel_sublane,
+                                            supports_host_s2d)
 
     consumers = ([teacher, student] if opts.what == "kd" else [model])
     if (kdcc_config.host_s2d_enabled()
             and all(supports_host_s2d(m) for m in consumers)):
-        images_np = s2d_pack(images_np)
+        images_np = s2d_pack(images_np, channel_sublane=(
+            s2d_pack_channel_sublane(*consumers)))
     images = jnp.asarray(images_np)
 
     run_once()  # compile
