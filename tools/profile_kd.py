@@ -137,8 +137,12 @@ def main(argv=None) -> int:
                             scope=opts.scope)
         model.train()
         graphdef, params, rest = nnx.split(model, nnx.Param, ...)
-        feats = jax.jit(lambda: model.backbone(
-            jnp.asarray(images_np, dtype)))()
+        # merge a fresh backbone INSIDE the jit: train-mode fused chains
+        # mutate BatchStat, which raises TraceContextError on a module
+        # captured from outside the trace
+        bgd, bstate = nnx.split(model.backbone)
+        feats = jax.jit(lambda s: nnx.merge(bgd, s)(
+            jnp.asarray(images_np, dtype)))(bstate)
         feats = jax.tree.map(jax.lax.stop_gradient, feats)
         carry0 = jnp.zeros((), jnp.float32)
 
