@@ -194,6 +194,19 @@ def pallas_xmid_enabled() -> bool:
     return False
 
 
+def pallas_xmid_part_enabled(part: str, mode: str) -> bool:
+    """Hardware-bisect sub-knobs for the xchain kernels, all default-on
+    under KDCC_PALLAS_XMID=1: KDCC_XMID_{ENTRY,MIDDLE,TAIL}=0 disables a
+    segment, KDCC_XMID_{EVAL,TRAIN}=0 disables a mode (teacher eval
+    mega-kernels vs student BN-barrier train chains). Used to localize the
+    round-4 v5e runtime abort that only the combined KD program hits."""
+    for key in ("KDCC_XMID_" + part.upper(), "KDCC_XMID_" + mode.upper()):
+        env = os.environ.get(key)
+        if env is not None and env in ("0", "false", "False"):
+            return False
+    return True
+
+
 # Pallas depthwise conv routing (ops.pallas.dwconv): replaces XLA's
 # feature-group depthwise lowering wherever groups == C, stride 1, odd k,
 # 'same' padding. Measured SLOWER standalone (0.25-0.87x of lax) but the
@@ -358,6 +371,27 @@ def split_decoder_concat_enabled() -> bool:
     if env is not None:
         return env not in ("0", "false", "False")
     return bool(split_decoder_concat)
+
+
+# Decoder 4x upsample as two explicit matmuls
+# (ops.resize.resize_bilinear_matmul) instead of jax.image.resize. Built to
+# kill the ~0.9 ms of layout transposes around XLA's W-axis resize dot at
+# 129²xC256/b16 (round-4 head xplane, fusion.29/.335) — MEASURED A WASH
+# (290.23 vs 290.08 img/s; head device busy 7.93 vs 7.94 ms): XLA's layout
+# assignment re-derives the same (c,w)-minor dot layouts whatever the
+# einsum order, because the W-dot's non-contracted w lands on lanes either
+# way; the transposes are inherent to its dot lowering, not the operand
+# order. Kept opt-in as an engineering record. Env: KDCC_MM_UPSAMPLE=1.
+mm_upsample: bool | None = False
+
+
+def mm_upsample_enabled() -> bool:
+    if _force_stock:
+        return False
+    env = os.environ.get("KDCC_MM_UPSAMPLE")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return bool(mm_upsample)
 
 
 # ASPP concat-split: project(cat(b1..b5)) as sum of per-branch 1x1 convs

@@ -201,7 +201,12 @@ class DeepLabHeadV3Plus(nnx.Module):
 
         low = self.project(features["low_level"])
         x = self.aspp(features["out"])
-        x = resize_bilinear(x, low.shape[1:3])
+        if config.mm_upsample_enabled():
+            from ..ops.resize import resize_bilinear_matmul
+
+            x = resize_bilinear_matmul(x, low.shape[1:3])
+        else:
+            x = resize_bilinear(x, low.shape[1:3])
         if self._fused_head_nw_active(return_features):
             return self._call_fused_head_nw(low, x)
         split_kind = (self._split_fuse_kind()

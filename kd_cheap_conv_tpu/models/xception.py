@@ -131,7 +131,9 @@ class Xception65(nnx.Module):
                             or dw.bias is not None or pw.bias is not None):
                         return None
             bn0 = self.middle[0].sep1.sep.bn_dw
-            return "eval" if bn0.use_running_average else "train"
+            mode = "eval" if bn0.use_running_average else "train"
+            return mode if config.pallas_xmid_part_enabled(
+                "middle", mode) else None
         except (AttributeError, IndexError, TypeError):
             return None
 
@@ -253,7 +255,9 @@ class Xception65(nnx.Module):
                     and all(not s.pre_relu and s.post_relu for s in seps)):
                 return None
             bn0 = eb.sep1.sep.bn_dw
-            return "eval" if bn0.use_running_average else "train"
+            mode = "eval" if bn0.use_running_average else "train"
+            return mode if config.pallas_xmid_part_enabled(
+                "tail", mode) else None
         except (AttributeError, IndexError, TypeError):
             return None
 
@@ -311,11 +315,15 @@ class Xception65(nnx.Module):
             from ..ops.pallas.xchain import fused_x_entry_block_eval
             from .layers import maybe_shard_eval
 
+            if not config.pallas_xmid_part_enabled("entry", "eval"):
+                return blk(x)
             interp = config.pallas_interpret_mode()
             fn = maybe_shard_eval(
                 lambda t: fused_x_entry_block_eval(t, blk, interp),
                 x.shape[0])
             return blk(x) if fn is None else fn(x)
+        if not config.pallas_xmid_part_enabled("entry", "train"):
+            return blk(x)
         if jax.device_count() == 1:
             return self._call_fused_entry(x, blk)
         mesh = config.active_mesh()

@@ -76,6 +76,66 @@ def _resize_align_corners(x: jax.Array, oh: int, ow: int) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def _halfpix_weights(in_size: int, out_size: int, dtype) -> jax.Array:
+    """Dense (out, in) bilinear matrix, torch align_corners=False / half-pixel
+    semantics (matches jax.image.resize(method='bilinear', antialias=False)
+    for upsampling). Built with numpy on the host so it enters the jaxpr as
+    a constant — no device-side scatter to fold."""
+    import numpy as np
+
+    if in_size == out_size:
+        return jnp.asarray(np.eye(out_size, dtype=np.float32), dtype)
+    scale = in_size / out_size
+    pos = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    lo = np.floor(pos).astype(np.int64)
+    frac = (pos - lo).astype(np.float32)
+    lo_c = np.clip(lo, 0, in_size - 1)
+    hi_c = np.clip(lo + 1, 0, in_size - 1)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo_c), 1.0 - frac)
+    np.add.at(m, (rows, hi_c), frac)
+    return jnp.asarray(m, dtype)
+
+
+def resize_matrices(h_in: int, h_out: int, w_in: int, w_out: int,
+                    dtype) -> tuple[jax.Array, jax.Array]:
+    """(Mh (h_out, h_in), Mw (w_out, w_in)) half-pixel bilinear matrices.
+
+    Lets callers run the decoder's 4x upsample as two explicit matmuls with
+    a CHOSEN output layout (einsum transposes compose into the dot for
+    free), instead of jax.image.resize followed by a materialized layout
+    fold — the round-4 boundary-elimination lever (NOTES.md: winning fused
+    chains are capped by their NHWC<->NW boundary transposes)."""
+    return (_halfpix_weights(h_in, h_out, dtype),
+            _halfpix_weights(w_in, w_out, dtype))
+
+
+def resize_bilinear_matmul(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Half-pixel bilinear upsample as two explicit NHWC-preserving matmuls.
+
+    Numerically the same operator as `resize_bilinear` (XLA's resize also
+    lowers to dense matmuls), but the einsum order is chosen so BOTH dots
+    produce channel-minor (NHWC) outputs directly: the round-4 head xplane
+    showed XLA's lowering running the W-axis dot in a [H,N,C,W] layout and
+    paying ~0.9 ms of pure layout transposes around it (fusion.29/.335 at
+    129²xC256/b16, fwd+bwd). The backward of each einsum is the transposed
+    matmul in the same layouts, so the grad path sheds the same copies."""
+    n, h, w, c = x.shape
+    oh, ow = int(size[0]), int(size[1])
+    if (oh, ow) == (h, w):
+        return x
+    mh, mw = resize_matrices(h, oh, w, ow, x.dtype)
+    # W-axis dot FIRST, while H is still small: XLA's layout assignment
+    # wants the W contraction in an [H,N,C,W]-style layout whatever the
+    # einsum order says, so any transposes it inserts should touch the
+    # pre-upsample (4x smaller at the decoder's 33²->129²) tensor. The
+    # H-axis dot second is layout-clean by construction: per image it is
+    # (oh, h) @ (h, w*c) with a row-major NHWC output.
+    y = jnp.einsum("wW,nhWc->nhwc", mw, x)
+    return jnp.einsum("hH,nHwc->nhwc", mh, y)
+
+
 def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """Nearest resize (labels / masks). NHWC or NHW."""
     squeeze = False

@@ -94,6 +94,33 @@ def test_bilinear_resize_matches_torch_half_pixel(size):
     _assert_close(got, want, tol=1e-4)
 
 
+@pytest.mark.parametrize("size", [(34, 38), (68, 76), (129, 129), (9, 10)])
+def test_bilinear_resize_matmul_matches_torch(size):
+    # the NHWC-preserving matmul form used by the decoder upsample
+    # (ops.resize.resize_bilinear_matmul) is the same half-pixel operator
+    from kd_cheap_conv_tpu.ops.resize import resize_bilinear_matmul
+
+    x = RNG.randn(2, 17, 19, 5).astype(np.float32)
+    got = resize_bilinear_matmul(jnp.asarray(x), size)
+    want = F.interpolate(_nchw(x), size=size, mode="bilinear",
+                         align_corners=False)
+    _assert_close(got, want, tol=1e-4)
+
+
+def test_bilinear_resize_matmul_grad_matches_resize_grad():
+    import jax
+
+    from kd_cheap_conv_tpu.ops.resize import resize_bilinear_matmul
+
+    x = jnp.asarray(RNG.randn(2, 9, 9, 4).astype(np.float32))
+    g1 = jax.grad(lambda t: jnp.sum(jnp.sin(
+        resize_bilinear(t, (33, 33)))))(x)
+    g2 = jax.grad(lambda t: jnp.sum(jnp.sin(
+        resize_bilinear_matmul(t, (33, 33)))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("size", [(34, 38), (9, 10)])
 def test_bilinear_resize_align_corners_true(size):
     x = RNG.randn(2, 17, 19, 5).astype(np.float32)
