@@ -178,9 +178,14 @@ def pallas_decoder_nw_enabled() -> bool:
 # 3 sep-convs (C=728) in the batch-folded layout. Eval mode (config #3
 # teacher / TTA student) folds the running-stat BNs into the pointwise
 # weights and runs ONE kernel per block; train mode (config #3 student)
-# runs irchain-style BN-barrier passes with the analytic backward. Opt-in
-# (False) until measured on real hardware. Env: KDCC_PALLAS_XMID=0/1.
-use_pallas_xception_middle: bool | None = False
+# runs irchain-style BN-barrier passes with the analytic backward.
+# Round-4k hardware A/B (v5e, 769²/b4 KD step, bench_xception.py): train
+# chains 18.13 -> 28.65 img/s (220.7 -> 139.6 ms, 1.58x) — default ON for
+# TPU. The EVAL mega-kernels reproducibly abort the combined KD program at
+# runtime ("TPU backend error (Aborted)"; student-only and teacher-only
+# programs both run) — eval parts default OFF until diagnosed; see
+# pallas_xmid_part_enabled. Env: KDCC_PALLAS_XMID=0/1.
+use_pallas_xception_middle: bool | None = None
 
 
 def pallas_xmid_enabled() -> bool:
@@ -191,20 +196,29 @@ def pallas_xmid_enabled() -> bool:
         return env not in ("0", "false", "False")
     if use_pallas_xception_middle is not None:
         return use_pallas_xception_middle
-    return False
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def pallas_xmid_part_enabled(part: str, mode: str) -> bool:
-    """Hardware-bisect sub-knobs for the xchain kernels, all default-on
-    under KDCC_PALLAS_XMID=1: KDCC_XMID_{ENTRY,MIDDLE,TAIL}=0 disables a
-    segment, KDCC_XMID_{EVAL,TRAIN}=0 disables a mode (teacher eval
-    mega-kernels vs student BN-barrier train chains). Used to localize the
-    round-4 v5e runtime abort that only the combined KD program hits."""
-    for key in ("KDCC_XMID_" + part.upper(), "KDCC_XMID_" + mode.upper()):
-        env = os.environ.get(key)
-        if env is not None and env in ("0", "false", "False"):
-            return False
-    return True
+    """Per-segment/mode gates for the xchain kernels under
+    pallas_xmid_enabled(): KDCC_XMID_{ENTRY,MIDDLE,TAIL}=0 disables a
+    segment, KDCC_XMID_{EVAL,TRAIN}=0/1 a mode. Defaults: train chains ON
+    (measured 1.58x in-context win, round-4k A/B); eval mega-kernels OFF —
+    they reproducibly abort the combined KD program on v5e at 769²/b4
+    (runtime "Aborted"; each half runs alone) and carry no in-context win
+    measurement yet. KDCC_XMID_EVAL=1 re-enables for TTA/eval experiments."""
+    part_env = os.environ.get("KDCC_XMID_" + part.upper())
+    mode_env = os.environ.get("KDCC_XMID_" + mode.upper())
+    part_ok = (part_env not in ("0", "false", "False")
+               if part_env is not None else True)
+    mode_ok = (mode_env not in ("0", "false", "False")
+               if mode_env is not None else mode != "eval")
+    return part_ok and mode_ok
 
 
 # Pallas depthwise conv routing (ops.pallas.dwconv): replaces XLA's
