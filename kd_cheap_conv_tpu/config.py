@@ -184,7 +184,10 @@ def pallas_decoder_nw_enabled() -> bool:
 # TPU. The EVAL mega-kernels reproducibly abort the combined KD program at
 # runtime ("TPU backend error (Aborted)"; student-only and teacher-only
 # programs both run) — eval parts default OFF until diagnosed; see
-# pallas_xmid_part_enabled. Env: KDCC_PALLAS_XMID=0/1.
+# pallas_xmid_part_enabled. NOTE (behavior change round 4k): setting
+# KDCC_PALLAS_XMID=1 no longer enables the eval mega-kernels — eval/TTA
+# experiments must ALSO set KDCC_XMID_EVAL=1 to reproduce pre-round-4k
+# XMID=1 behavior. Env: KDCC_PALLAS_XMID=0/1.
 use_pallas_xception_middle: bool | None = None
 
 

@@ -6,7 +6,9 @@
 # (The r4i results were lost with /tmp between sessions.)
 cd "$(dirname "$0")/.."
 log=${1:-/tmp/measure/r4.log}
-mkdir -p "$(dirname "$log")"
+# Per-run outputs always land in /tmp/measure/$name.out, so create it even
+# when a custom $1 log path points elsewhere.
+mkdir -p "$(dirname "$log")" /tmp/measure
 echo "=== $(date -u) r4j-matrix @ $(git rev-parse --short HEAD) ===" >> "$log"
 run() {
   name=$1; to=$2; bench=$3; shift 3
