@@ -411,6 +411,31 @@ def mm_upsample_enabled() -> bool:
     return bool(mm_upsample)
 
 
+# Decoder 4x upsample as ONE Pallas kernel (ops.pallas.upsample), both
+# interpolation axes NHWC-native: built to kill the ~1.4 ms/step of layout
+# transposes around XLA's resize dots at 129²xC256/b16 (round-5 xplane:
+# fusion.2414/.53 fwd, .254/.249 bwd; the einsum reorder above proved the
+# transposes are inherent to XLA's dot lowering). MEASURED LOSING in
+# context (round 5, b16/513² KD step): 289.1 -> 280.6 img/s (+1.7 ms) —
+# the Pallas {3,2,1,0} output/cotangent boundary copies against the convs'
+# {3,0,2,1} layouts plus the per-cell Element-window DMAs cost more than
+# the transposes saved (the decoder-NW lesson again: layout boundaries
+# move, they don't disappear). Opt-in engineering record, parity-tested
+# (tests/test_pallas_upsample.py). Env: KDCC_PALLAS_UPSAMPLE=0/1.
+use_pallas_upsample: bool | None = None
+
+
+def pallas_upsample_enabled() -> bool:
+    if _force_stock:
+        return False
+    env = os.environ.get("KDCC_PALLAS_UPSAMPLE")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_pallas_upsample is not None:
+        return use_pallas_upsample
+    return False
+
+
 # ASPP concat-split: project(cat(b1..b5)) as sum of per-branch 1x1 convs
 # (exact channel-split of the project kernel, same algebra as the decoder
 # split), so the 5*256-channel concat never materializes and the pool

@@ -201,12 +201,33 @@ class DeepLabHeadV3Plus(nnx.Module):
 
         low = self.project(features["low_level"])
         x = self.aspp(features["out"])
-        if config.mm_upsample_enabled():
+        size = low.shape[1:3]
+        if config.pallas_upsample_enabled():
+            import jax
+
+            from ..ops.pallas.upsample import (pallas_upsample_ok,
+                                               resize_bilinear_up,
+                                               resize_bilinear_up_sharded)
+
+            sz = (int(size[0]), int(size[1]))
+            mesh = config.active_mesh()
+            if not pallas_upsample_ok(x.shape, size):
+                x = resize_bilinear(x, size)
+            elif (mesh is not None and jax.device_count() > 1
+                    and x.shape[0] % mesh.devices.size == 0):
+                x = resize_bilinear_up_sharded(
+                    x, sz, mesh, config.pallas_interpret_mode())
+            elif mesh is None or jax.device_count() == 1:
+                x = resize_bilinear_up(
+                    x, sz, interpret=config.pallas_interpret_mode())
+            else:
+                x = resize_bilinear(x, size)
+        elif config.mm_upsample_enabled():
             from ..ops.resize import resize_bilinear_matmul
 
-            x = resize_bilinear_matmul(x, low.shape[1:3])
+            x = resize_bilinear_matmul(x, size)
         else:
-            x = resize_bilinear(x, low.shape[1:3])
+            x = resize_bilinear(x, size)
         if self._fused_head_nw_active(return_features):
             return self._call_fused_head_nw(low, x)
         split_kind = (self._split_fuse_kind()
