@@ -224,6 +224,35 @@ def pallas_xmid_part_enabled(part: str, mode: str) -> bool:
     return part_ok and mode_ok
 
 
+# (H,W,N,C) bitcast-layout Pallas depthwise conv (ops.pallas.dwhwnc):
+# round-5 experiment. Its operand layout is byte-identical to XLA's
+# preferred {3,0,2,1} conv layout, so the entry/exit transposes compile to
+# bitcasts (zero boundary copies — verified in optimized HLO) and tap
+# shifts are free outer-dim slices. Measured on v5e b16/513² anyway:
+# LOSES. Ungated: 289.4 -> 91.7 img/s (the d=12/18 ASPP branches have no
+# VMEM-feasible tile — 30x halo read amplification, 11-24 ms/pass); with
+# the amp<=3 gate (decoder d1 + f7..17 d1/d2 sites only): 289.4 -> 238.9
+# (-11 ms). Root cause: a lone depthwise conv is VPU-FLOP-bound once
+# layout glue is gone (~9 f32 MACs/element), and XLA's dw fusions at
+# C>=256 are already near that floor — the kernel adds halo re-reads and
+# bf16->f32 conversion work with no matmul to hide them behind. The
+# bitcast-layout discovery pays in MXU-dominated CHAINS instead (see
+# ops.pallas.rchain_hwnc). Kept opt-in, parity-tested
+# (tests/test_pallas_dwhwnc.py). Env: KDCC_DW_HWNC=0/1.
+use_dw_hwnc: bool | None = False
+
+
+def dw_hwnc_enabled() -> bool:
+    if _force_stock:
+        return False
+    env = os.environ.get("KDCC_DW_HWNC")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_dw_hwnc is not None:
+        return use_dw_hwnc
+    return False
+
+
 # Pallas depthwise conv routing (ops.pallas.dwconv): replaces XLA's
 # feature-group depthwise lowering wherever groups == C, stride 1, odd k,
 # 'same' padding. Measured SLOWER standalone (0.25-0.87x of lax) but the
@@ -301,6 +330,32 @@ def pallas_resnet_eval_enabled() -> bool:
         return env not in ("0", "false", "False")
     if use_pallas_resnet_eval is not None:
         return use_pallas_resnet_eval
+    return False
+
+
+# Fused eval-mode ResNet STAGES in the (H,W,N,C) bitcast layout
+# (ops.pallas.rchain_hwnc): the round-5 successor to KDCC_PALLAS_RNET —
+# one kernel per RUN of stride-1 bottlenecks (layer1 all, layer2 blocks
+# 2..N) with recompute-halo, so no intermediate and no boundary copy
+# touches HBM (the two taxes that made the round-3 kernel lose). Measured
+# on v5e b16/513²: still LOSES, 289.4 -> 279.2 (-2 ms). The boundaries ARE
+# free this time (xplane: pad+transpose glue only ~0.6 ms) — the kernel
+# body itself is the cost (layer1 stage 3.37 ms, layer2 1.29): bottleneck
+# mid-widths 64/128 run the MXU at 25-50% utilization (K=N=64 tap matmuls
+# on a 128x128 array), while XLA's grouped conv lowering for the same
+# stage is ~2.5 ms. The bitcast-chain recipe needs >=128-wide matmuls to
+# pay. Kept opt-in, parity-tested. Env: KDCC_RNET_HWNC=0/1.
+use_resnet_eval_hwnc: bool | None = False
+
+
+def resnet_eval_hwnc_enabled() -> bool:
+    if _force_stock:
+        return False
+    env = os.environ.get("KDCC_RNET_HWNC")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_resnet_eval_hwnc is not None:
+        return use_resnet_eval_hwnc
     return False
 
 

@@ -154,6 +154,12 @@ class ResNet(nnx.Module):
         (ops.pallas.rchain), others (e.g. a stride-2 first block) stock."""
         from .. import config
 
+        if (config.resnet_eval_hwnc_enabled()
+                and layer[0].bn1.use_running_average
+                and x.shape[0] % 8 == 0):
+            out = self._run_layer_hwnc(x, layer)
+            if out is not None:
+                return out
         if (not config.pallas_resnet_eval_enabled()
                 or not layer[0].bn1.use_running_average
                 or x.shape[-1] % 8 != 0):
@@ -179,6 +185,45 @@ class ResNet(nnx.Module):
         run = []
         for b in layer:
             if _bneck_fusable(b):
+                run.append(b)
+                continue
+            if run:
+                x = flush(x, run)
+                run = []
+            x = b(x)
+        if run:
+            x = flush(x, run)
+        return x
+
+    def _run_layer_hwnc(self, x, layer):
+        """Round-5 eval fast path (KDCC_RNET_HWNC): runs of stride-1
+        bottlenecks as ONE (H,W,N,C)-layout kernel with recompute-halo
+        (ops.pallas.rchain_hwnc). Returns None when no block engages (the
+        caller falls through to the older paths)."""
+        from .. import config
+        from ..ops.pallas.rchain_hwnc import (bneck_hwnc_fusable,
+                                              fused_resnet_stage_eval_hwnc)
+        from .layers import maybe_shard_eval
+
+        if not any(bneck_hwnc_fusable(b) for b in layer):
+            return None
+        interp = config.pallas_interpret_mode()
+
+        def flush(x, run):
+            blocks = tuple(run)
+            fn = maybe_shard_eval(
+                lambda t: fused_resnet_stage_eval_hwnc(t, blocks, interp),
+                x.shape[0])
+            if fn is None:                   # multi-device, no usable mesh
+                for b in blocks:
+                    x = b(x)
+                return x
+            return fn(x)
+
+        run = []
+        for b in layer:
+            # only the first block of a fused run may carry a downsample
+            if bneck_hwnc_fusable(b) and (not run or b.downsample is None):
                 run.append(b)
                 continue
             if run:

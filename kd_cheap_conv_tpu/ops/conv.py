@@ -88,6 +88,23 @@ def conv2d(
             and groups == x.shape[-1] == w.shape[3] and w.shape[2] == 1):
         from .. import config as _config
 
+        if _config.dw_hwnc_enabled():
+            from .pallas.dwconv import dw_kernel_to_taps
+            from .pallas.dwhwnc import (depthwise_conv2d_hwnc,
+                                        supports_dw_hwnc)
+
+            if supports_dw_hwnc(stride=stride, padding=padding,
+                                dilation=dilation, kernel_size=w.shape[:2],
+                                n=x.shape[0], c=x.shape[-1],
+                                hw=(x.shape[1], x.shape[2])):
+                d = dilation[0] if isinstance(dilation, (tuple, list)) \
+                    else dilation
+                out = depthwise_conv2d_hwnc(
+                    x, dw_kernel_to_taps(w), int(w.shape[0]), int(d),
+                    _config.pallas_interpret_mode())
+                if b is not None:
+                    out = out + b.astype(out.dtype)
+                return out
         if _config.pallas_dw_enabled():
             from .pallas.dwconv import (depthwise_conv2d_pallas,
                                         dw_kernel_to_taps,

@@ -81,3 +81,61 @@ def test_rchain_model_integration():
     for k in ("low_level", "out"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=5e-4, atol=5e-4, err_msg=k)
+
+
+def test_rchain_hwnc_stage_parity():
+    """Round-5 (H,W,N,C) stage kernel: one kernel per run, recompute-halo,
+    vs the stock NNX chain."""
+    from kd_cheap_conv_tpu.ops.pallas.rchain_hwnc import (
+        bneck_hwnc_fusable, fused_resnet_stage_eval_hwnc)
+
+    RNG.seed(29)
+    m = resnet50(output_stride=16, rngs=nnx.Rngs(0))
+    _randomize_bns(m)
+    m.eval()
+    blocks = list(m.layer1)
+    assert all(bneck_hwnc_fusable(b) for b in blocks)
+    assert not bneck_hwnc_fusable(m.layer2[0])       # stride-2
+    assert not bneck_hwnc_fusable(m.layer3[1])       # mid 256 > 128 gate
+
+    x = jnp.asarray(RNG.randn(8, 9, 11, 64), jnp.float32)
+    got = fused_resnet_stage_eval_hwnc(x, blocks, interpret=True)
+    want = x
+    for b in blocks:
+        want = b(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_rchain_hwnc_model_integration():
+    """ResNet-50 eval forward with KDCC_RNET_HWNC force-enabled vs stock
+    (sharded eval wrapper over the conftest mesh)."""
+    def build():
+        m = resnet50(output_stride=16, rngs=nnx.Rngs(0))
+        _randomize_bns(m)
+        m.eval()
+        return m
+
+    import jax
+    from jax.sharding import Mesh
+
+    RNG.seed(31)
+    ref = build()
+    RNG.seed(31)
+    fused = build()
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    x = jnp.asarray(np.random.RandomState(5).randn(8, 33, 33, 3),
+                    jnp.float32)
+    old = config.use_resnet_eval_hwnc
+    try:
+        config.use_resnet_eval_hwnc = False
+        want = ref(x)
+        config.use_resnet_eval_hwnc = True
+        config.set_active_mesh(mesh)
+        got = fused(x)
+    finally:
+        config.use_resnet_eval_hwnc = old
+        config.set_active_mesh(None)
+    for k in ("low_level", "out"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=5e-4, atol=5e-4, err_msg=k)
