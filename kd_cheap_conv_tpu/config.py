@@ -359,6 +359,32 @@ def resnet_eval_hwnc_enabled() -> bool:
     return False
 
 
+# Fused eval-mode ResNet stem+maxpool Pallas kernel (ops.pallas.tstem):
+# consumes the host-packed NHCW S2D input in its DEFAULT layout — deleting
+# the 0.52 ms layout copy the two-consumer packed tensor otherwise pays
+# (student f0 chain reads default, XLA's teacher conv wants {2,0,3,1}) —
+# and fuses conv7x7/s2 + BN + relu + maxpool3x3/s2 into one fwd-only
+# kernel (the XLA trio costs 0.89 + 0.52 + 0.39 ms, round-5 xplane).
+# Measured on v5e b16/513²: WASH (289.7/290.3 vs 289.4/290.2 baseline;
+# kernel 0.93-1.38 ms in xplane vs the ~1.8 ms it replaces, minus a new
+# exit transpose). The C_out=64 matmuls run the MXU at <40% utilization —
+# same narrow-width floor XLA's own lowering pays, so removing the copy
+# only trades glue for kernel time. Opt-in, parity-tested
+# (tests/test_pallas_tstem.py). Env: KDCC_TSTEM=0/1.
+use_pallas_teacher_stem: bool | None = False
+
+
+def pallas_teacher_stem_enabled() -> bool:
+    if _force_stock:
+        return False
+    env = os.environ.get("KDCC_TSTEM")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if use_pallas_teacher_stem is not None:
+        return use_pallas_teacher_stem
+    return False
+
+
 # ResNet 7x7-s2 stem as a space-to-depth 4x4-s1 conv (exact rewrite):
 # XLA's C_in=3 7x7 conv lowering measured 1.54ms vs a 0.2ms memory bound at
 # b16/513² (round-3 teacher segment profile); S2D(2) turns it into a

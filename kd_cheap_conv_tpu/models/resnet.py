@@ -239,11 +239,27 @@ class ResNet(nnx.Module):
         from ..ops.conv import s2d_packed_form
 
         form = s2d_packed_form(x) if config.host_s2d_enabled() else None
-        if form is not None:
-            x = self._stem_s2d_packed(x, form)
+        if (form == "nhcw" and config.pallas_teacher_stem_enabled()
+                and self.stem.bn.use_running_average
+                and self.stem.conv.kernel_size == (7, 7)
+                and self.stem.conv.stride == (2, 2)
+                and self.stem.conv.padding == (3, 3)):
+            # fused eval stem+maxpool over the packed NHCW input
+            # (ops.pallas.tstem — fwd-only; teacher / TTA eval graphs)
+            from ..ops.pallas.tstem import fused_stem_pool_eval_nhcw
+
+            dt = self.stem.conv.dtype
+            x = fused_stem_pool_eval_nhcw(
+                x.astype(dt) if dt is not None else x,
+                self.stem.conv.kernel, self.stem.bn,
+                config.pallas_interpret_mode())
         else:
-            x = self._stem_s2d(x) if self._stem_s2d_active() else self.stem(x)
-        x = self._maxpool(x)
+            if form is not None:
+                x = self._stem_s2d_packed(x, form)
+            else:
+                x = (self._stem_s2d(x) if self._stem_s2d_active()
+                     else self.stem(x))
+            x = self._maxpool(x)
         x = self._run_layer(x, self.layer1)
         low_level = x
         x = self._run_layer(x, self.layer2)
