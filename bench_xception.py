@@ -43,7 +43,16 @@ def main() -> None:
     state = init_state()
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randn(batch, hw, hw, 3), jnp.float32)
+    images_np = rng.randn(batch, hw, hw, 3).astype(np.float32)
+    from kd_cheap_conv_tpu import config as kdcc_config
+    from kd_cheap_conv_tpu.ops.conv import s2d_pack, supports_host_s2d
+    if (kdcc_config.host_s2d_enabled() and supports_host_s2d(student)
+            and supports_host_s2d(teacher)):
+        # KDCC_HOST_S2D (round 5: Xception entry conv now consumes the
+        # packed form too): pipeline packs on the host, here once outside
+        # the timed loop — measures exactly the device-side saving
+        images_np = s2d_pack(images_np)
+    images = jnp.asarray(images_np)
     labels = jnp.asarray(rng.randint(0, ncls, (batch, hw, hw)), jnp.int32)
 
     state, metrics = step_fn(state, (images, labels), t_state)

@@ -333,8 +333,28 @@ class Xception65(nnx.Module):
 
     def __call__(self, x):
         from .. import config
+        from ..ops.conv import s2d_packed_form
 
-        if self._conv1_s2d_active():
+        form = (s2d_packed_form(x) if config.host_s2d_enabled() else None)
+        if form is not None:
+            # HOST-packed S2D input (ops.conv.s2d_pack): the 3x3/s2/pad1
+            # entry conv reads the packed tensor via an exact 2x2-VALID
+            # rewrite — kills the 769² input layout copy (~1.0 ms) and the
+            # batch-group conv1 wgrad (~1.3 ms) XLA pays at config #3
+            # (round-5 xplane). Weight transform is differentiable, so the
+            # student's conv1 grads flow unchanged.
+            from ..ops.conv import conv2d_s2d_packed
+
+            c = self.conv1.conv
+            w = c.kernel[...]
+            if c.dtype is not None:
+                x = x.astype(c.dtype)
+                w = w.astype(c.dtype)
+            dn = (("NHCW" if form == "nhcw" else "NHWC"), "HWIO", "NHWC")
+            x = nnx.relu(self.conv1.bn(conv2d_s2d_packed(
+                x, w, 1, dimension_numbers=dn)))
+            x = self.conv2(x)
+        elif self._conv1_s2d_active():
             # entry 3x3/s2 C_in=3 via the space-to-depth rewrite
             # (ops.conv.conv2d_s2d) — same small-channel-conv tax as the
             # ResNet stem; BN+relu stay on the module

@@ -280,6 +280,7 @@ def supports_host_s2d(model) -> bool:
     batch feeds; when any says no, keep normal 3-channel images."""
     from ..models.mobilenetv2 import ConvBNReLU6, MobileNetV2
     from ..models.resnet import ResNet
+    from ..models.xception import Xception65
 
     b = getattr(model, "backbone", model)
     try:
@@ -294,6 +295,10 @@ def supports_host_s2d(model) -> bool:
             c = b.stem.conv
             return (c.kernel_size == (7, 7) and c.stride == (2, 2)
                     and c.padding == (3, 3))
+        if isinstance(b, Xception65):
+            c = b.conv1.conv
+            return (c.kernel_size == (3, 3) and c.stride == (2, 2)
+                    and c.padding == (1, 1) and c.bias is None)
     except AttributeError:
         return False
     return False

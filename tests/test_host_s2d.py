@@ -79,7 +79,8 @@ def host_s2d_on():
 
 
 @pytest.mark.parametrize("name", ["deeplabv3plus_resnet50",
-                                  "deeplabv3plus_mobilenet"])
+                                  "deeplabv3plus_mobilenet",
+                                  "deeplabv3plus_xception"])
 def test_model_packed_input_parity(name, host_s2d_on):
     """Full model: packed input == normal input (same weights), and the
     logits upsample to the ORIGINAL odd resolution."""
