@@ -199,11 +199,19 @@ def test_xmid_module_integration():
 
         # eval mode: folded-BN kernels via the shard-wrapped dispatch
         # (needs an active mesh + divisible batch under the 8-dev conftest,
-        # else maybe_shard_eval silently falls back to stock)
+        # else maybe_shard_eval silently falls back to stock). Since round
+        # 4k the eval mega-kernels are a SEPARATE opt-in (KDCC_XMID_EVAL=1
+        # — they reproducibly abort the combined KD program on v5e and
+        # default OFF; config.pallas_xmid_part_enabled), so the numerics
+        # coverage here opts in explicitly.
+        import os
+
         from jax.sharding import Mesh
 
         ref.eval()
         fused.eval()
+        assert fused._fused_middle_mode() is None   # eval default-off
+        os.environ["KDCC_XMID_EVAL"] = "1"
         assert fused._fused_middle_mode() == "eval"
         xe = jnp.asarray(np.random.RandomState(43).randn(8, 65, 65, 3),
                          jnp.float32)
@@ -214,6 +222,9 @@ def test_xmid_module_integration():
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
                                    rtol=2e-4, atol=2e-3)
     finally:
+        import os
+
+        os.environ.pop("KDCC_XMID_EVAL", None)
         config.use_pallas_xception_middle = old
 
 
